@@ -1,0 +1,469 @@
+"""HTML extraction — SURVEY.md §2 D1-D6, re-expressed for static HTML.
+
+The reference extracts with a headless browser
+(/root/reference/xtracted/crawlers/amazon/amazon_async_product.py):
+
+- D2 asin: ``#averageCustomerReviews`` first element's ``data-asin``
+  attribute (amazon_async_product.py:68-71). A *missing element* raises
+  (locator timeout) and fails the whole URL — pinned by the B0BXD1PRJQ
+  fixture + /root/reference/tests/test_amazon_async_product.py:48-60.
+  A present element with a *missing attribute* yields asin=None.
+- D3 feature bullets: text of every ``#feature-bullets ul li``, stripped,
+  empty strings dropped (amazon_async_product.py:73-79).
+- D4 variants: fields of the twister matrix JSON, assembled in a fixed key
+  order with synthesized ``{root_url}/dp/{asin}?psc=1`` URLs
+  (amazon_async_product.py:28-66). On any failure: ``{}`` — variants are
+  optional and never fatal (amazon_async_product.py:81-91).
+- payload assembly + JSON serialization with dict insertion order and
+  ``json.dumps`` default separators (amazon_async_product.py:93-104,
+  context.py:141) — this is the byte-identical invariant.
+
+Here the browser is replaced by a static-HTML parse: the pages corpus (an
+Iceberg/parquet table of Common-Crawl-style captures) IS the web, and
+"fetch" is a join. The twister matrix is read from the ``var dataToReturn =
+{...}`` script blob that carries ``dimensionValuesDisplayData`` (there is
+exactly one such blob per product page; a real one sits at
+/root/reference/tests/asins/B0CX9DVZDP.html:6940).
+
+Hot path = ONE Arrow-batched pandas UDF (``extract_udf``) returning flat
+strings (payload_json / text / error); the typed payload struct is
+recovered JVM-side with ``from_json`` so Arrow never has to move nested
+struct-of-array-of-map batches. The pure-Python functions below double as
+the golden-oracle mirror used by tests.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html import unescape
+from html.parser import HTMLParser
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .urlnorm import py_root_url
+
+# ---------------------------------------------------------------------------
+# Typed payload schema (SURVEY.md §1.3 / FIXTURES.md §5)
+# ---------------------------------------------------------------------------
+
+VARIANT_SCHEMA = T.StructType(
+    [
+        T.StructField("asin", T.StringType()),
+        T.StructField("detail", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+VARIANTS_SCHEMA = T.StructType(
+    [
+        T.StructField("variants_count", T.IntegerType()),
+        T.StructField("current_asin", T.StringType()),
+        T.StructField("parent_asin", T.StringType()),
+        T.StructField("variationDisplayLabels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("variants", T.ArrayType(VARIANT_SCHEMA)),
+    ]
+)
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("asin", T.StringType()),
+        T.StructField("feature_bullets", T.ArrayType(T.StringType())),
+        T.StructField("url", T.StringType()),
+        T.StructField("variants", VARIANTS_SCHEMA),
+    ]
+)
+
+EXTRACT_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+class ExtractionError(Exception):
+    """Raised when a required element is absent — the whole-URL failure
+    path (mirrors the reference's locator timeout on a missing
+    #averageCustomerReviews)."""
+
+
+# ---------------------------------------------------------------------------
+# D2: asin attribute
+# ---------------------------------------------------------------------------
+
+# `id="averageCustomerReviews"` must be the `id` attribute itself, not a
+# substring of another attribute (`data-csa-c-content-id="average..."`
+# appears on pages that LACK the element — the B0BXD1PRJQ failure fixture).
+_ACR_TAG_RE = re.compile(
+    r"""<[^>]*\sid\s*=\s*["']averageCustomerReviews["'][^>]*>""", re.IGNORECASE
+)
+_DATA_ASIN_RE = re.compile(r"""\sdata-asin\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+
+
+def extract_asin(html: str) -> Optional[str]:
+    """data-asin of the first #averageCustomerReviews element.
+
+    Missing element ⇒ ExtractionError (URL fails, reference D2);
+    missing attribute ⇒ None (payload carries asin null).
+    """
+    m = _ACR_TAG_RE.search(html)
+    if m is None:
+        raise ExtractionError("locator '#averageCustomerReviews' not found")
+    a = _DATA_ASIN_RE.search(m.group(0))
+    if a is None:
+        return None
+    return unescape(a.group(1) if a.group(1) is not None else a.group(2))
+
+
+# ---------------------------------------------------------------------------
+# D3: feature bullets (#feature-bullets ul li)
+# ---------------------------------------------------------------------------
+
+
+class _BulletParser(HTMLParser):
+    """Collects textContent of every li inside a ul inside the element with
+    id=feature-bullets. Entity references are decoded (convert_charrefs),
+    matching DOM textContent."""
+
+    _VOID = {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.bullets: list[str] = []
+        self._stack: list[str] = []  # open tags inside the target element
+        self._in_target = False
+        self._ul_depth = 0
+        self._li_depth = 0
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if not self._in_target:
+            for k, v in attrs:
+                if k == "id" and v == "feature-bullets":
+                    self._in_target = True
+                    self._stack = [tag]
+                    return
+            return
+        if tag in self._VOID:
+            return
+        if tag == "li" and self._ul_depth > 0:
+            if self._li_depth > 0:
+                # implicit </li> before a sibling <li>
+                self._flush_li()
+            self._li_depth += 1
+        elif tag == "ul":
+            self._ul_depth += 1
+        self._stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if not self._in_target:
+            return
+        if tag in self._stack:
+            while self._stack:
+                popped = self._stack.pop()
+                if popped == "li" and self._li_depth > 0:
+                    self._flush_li()
+                    self._li_depth -= 1
+                elif popped == "ul" and self._ul_depth > 0:
+                    self._ul_depth -= 1
+                if popped == tag:
+                    break
+        if not self._stack:
+            self._in_target = False
+
+    def handle_data(self, data: str) -> None:
+        if self._in_target and self._li_depth > 0:
+            self._buf.append(data)
+
+    def _flush_li(self) -> None:
+        text = "".join(self._buf).strip()
+        self._buf = []
+        if text:
+            self.bullets.append(text)
+
+
+def extract_feature_bullets(html: str) -> list[str]:
+    """Stripped non-empty textContent of each '#feature-bullets ul li'."""
+    # cheap pre-slice: the parser only needs the document from the target id
+    i = html.find('id="feature-bullets"')
+    if i < 0:
+        i = html.find("id='feature-bullets'")
+        if i < 0:
+            return []
+    start = html.rfind("<", 0, i)
+    p = _BulletParser()
+    try:
+        p.feed(html[start:])
+        p.close()
+    except Exception:
+        pass
+    return p.bullets
+
+
+# ---------------------------------------------------------------------------
+# D4/D5: twister variants matrix
+# ---------------------------------------------------------------------------
+
+_TWISTER_KEYS = (
+    "num_total_variations",
+    "current_asin",
+    "parent_asin",
+    "variationDisplayLabels",
+    "dimensionsDisplay",
+    "dimensionValuesDisplayData",
+)
+
+
+def _balanced_json_value(s: str, start: int) -> Optional[str]:
+    """Return the JSON value beginning at s[start] (object/array/string/
+    scalar) using a string-aware bracket scan."""
+    n = len(s)
+    while start < n and s[start] in " \t\r\n":
+        start += 1
+    if start >= n:
+        return None
+    c = s[start]
+    if c in "{[":
+        depth = 0
+        in_str = False
+        esc = False
+        for k in range(start, n):
+            ch = s[k]
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+                continue
+            if ch == '"':
+                in_str = True
+            elif ch in "{[":
+                depth += 1
+            elif ch in "}]":
+                depth -= 1
+                if depth == 0:
+                    return s[start : k + 1]
+        return None
+    if c == '"':
+        esc = False
+        for k in range(start + 1, n):
+            ch = s[k]
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                return s[start : k + 1]
+        return None
+    m = re.match(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null", s[start:])
+    return m.group(0) if m else None
+
+
+def extract_twister_matrix(html: str) -> dict[str, Any]:
+    """Parse the twister init blob out of static HTML.
+
+    Finds the script region around the single occurrence of
+    ``dimensionValuesDisplayData``; tries a whole-blob ``json.loads`` first
+    (our synthetic pages embed pure JSON), then falls back to per-key
+    balanced-scan extraction (real Amazon blobs contain JS string
+    concatenation that is not valid JSON). Raises if the blob is absent —
+    callers convert that to the ``{}`` optional-variants path (D5).
+    """
+    anchor = html.find("dimensionValuesDisplayData")
+    if anchor < 0:
+        raise ExtractionError("twister blob not found")
+    blob_start = html.rfind("var dataToReturn", 0, anchor)
+    if blob_start < 0:
+        blob_start = max(0, anchor - 2_000_000)
+    brace = html.find("{", blob_start)
+    blob = _balanced_json_value(html, brace)
+    if blob is not None:
+        try:
+            parsed = json.loads(blob)
+            if isinstance(parsed, dict):
+                return parsed
+        except (json.JSONDecodeError, ValueError):
+            pass
+    # per-key fallback over the blob region
+    region = blob if blob is not None else html[blob_start : anchor + 2_000_000]
+    out: dict[str, Any] = {}
+    for key in _TWISTER_KEYS:
+        m = re.search(r'"%s"\s*:' % re.escape(key), region)
+        if not m:
+            continue
+        raw = _balanced_json_value(region, m.end())
+        if raw is None:
+            continue
+        try:
+            out[key] = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    if not out:
+        raise ExtractionError("twister blob unparseable")
+    return out
+
+
+def build_variants(matrix: dict[str, Any], root: Optional[str]) -> dict[str, Any]:
+    """Assemble the variants payload from a twister matrix dict.
+
+    Field-for-field mirror of the reference's semantics
+    (amazon_async_product.py:40-66): conditional key presence, key order
+    (variants_count, current_asin, parent_asin, variationDisplayLabels,
+    variants), one ``{dimensionLabel: value}`` map per dimension in
+    ``detail``, variant order = JSON key order of
+    ``dimensionValuesDisplayData``, synthesized
+    ``{root}/dp/{asin}?psc=1`` URLs ('' when root is None).
+    """
+    result: dict[str, Any] = {}
+    if "num_total_variations" in matrix:
+        result["variants_count"] = matrix["num_total_variations"]
+    if "current_asin" in matrix:
+        result["current_asin"] = matrix["current_asin"]
+    if "parent_asin" in matrix:
+        result["parent_asin"] = matrix["parent_asin"]
+    if "variationDisplayLabels" in matrix:
+        result["variationDisplayLabels"] = matrix["variationDisplayLabels"]
+    if "dimensionValuesDisplayData" in matrix and "dimensionsDisplay" in matrix:
+        variants = []
+        dims = matrix["dimensionsDisplay"]
+        for asin, values in matrix["dimensionValuesDisplayData"].items():
+            detail = [{dims[i]: values[i]} for i in range(len(dims))]
+            variants.append(
+                {
+                    "asin": asin,
+                    "detail": detail,
+                    "url": f'{"" if root is None else root}/dp/{asin}?psc=1',
+                }
+            )
+        result["variants"] = variants
+    return result
+
+
+def extract_variations_matrix(html: str, root: Optional[str]) -> dict[str, Any]:
+    """D5: variants are optional — any failure yields {} (never fatal)."""
+    try:
+        return build_variants(extract_twister_matrix(html), root)
+    except Exception:
+        return {}
+
+
+# ---------------------------------------------------------------------------
+# D6: payload assembly + page text
+# ---------------------------------------------------------------------------
+
+
+def extract_payload(url: str, html: str) -> dict[str, Any]:
+    """Full payload dict in reference key order; raises ExtractionError on
+    the required-element failure path."""
+    asin = extract_asin(html)  # raises on missing element
+    bullets = extract_feature_bullets(html)
+    variants = extract_variations_matrix(html, py_root_url(url))
+    return {
+        "asin": asin,
+        "feature_bullets": bullets,
+        "url": url,
+        "variants": variants,
+    }
+
+
+def payload_to_json(payload: dict[str, Any]) -> str:
+    """json.dumps with default separators + insertion order — the exact
+    serialization the reference persists (context.py:141)."""
+    return json.dumps(payload)
+
+
+class _TextParser(HTMLParser):
+    """Visible-text extractor: script/style/template dropped, entities
+    decoded, whitespace runs collapsed to single spaces."""
+
+    _SKIP = {"script", "style", "template", "noscript"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if tag in self._SKIP:
+            self._skip += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP and self._skip > 0:
+            self._skip -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip == 0:
+            self.parts.append(data)
+
+
+def extract_text(html: str) -> str:
+    p = _TextParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return re.sub(r"\s+", " ", "".join(p.parts)).strip()
+
+
+def extract_one(url: str, html: str) -> tuple[Optional[str], Optional[str], Optional[str]]:
+    """(payload_json, text, error) for one page — the per-row kernel both
+    the Arrow UDF and the golden oracle share."""
+    try:
+        payload = extract_payload(url, html)
+        return payload_to_json(payload), extract_text(html), None
+    except Exception as e:  # reference stores repr(error) (context.py:100)
+        return None, None, repr(e)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Arrow-batched extraction kernel. html may be bytes (pages.html is
+    binary) or str."""
+    payloads: list[Optional[str]] = []
+    texts: list[Optional[str]] = []
+    errors: list[Optional[str]] = []
+    for u, h in zip(url, html):
+        if h is None:
+            payloads.append(None)
+            texts.append(None)
+            errors.append(repr(ExtractionError("fetch miss: url absent from pages")))
+            continue
+        if isinstance(h, (bytes, bytearray, memoryview)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        pj, tx, er = extract_one(u, h)
+        payloads.append(pj)
+        texts.append(tx)
+        errors.append(er)
+    return pd.DataFrame({"payload_json": payloads, "text": texts, "error": errors})
+
+
+def with_extraction(df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Append extraction columns: payload_json, text, error, and the typed
+    ``data`` struct (recovered JVM-side via from_json — Arrow only ever
+    carries flat strings)."""
+    res = extract_udf(F.col(url_col), F.col(html_col))
+    return (
+        df.withColumn("_x", res)
+        .withColumn("payload_json", F.col("_x.payload_json"))
+        .withColumn("text", F.col("_x.text"))
+        .withColumn("error", F.col("_x.error"))
+        .drop("_x")
+        .withColumn("data", F.from_json("payload_json", PAYLOAD_SCHEMA))
+    )

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the crawl workload.
+
+Defaults are sized for the sandbox (single JVM, local[N]) but every knob is
+chosen for how it behaves on a real multi-executor cluster at 10^10-URL
+frontier scale:
+
+- AQE on: runtime coalescing of the many small post-filter partitions and
+  skew-join splitting for hot hosts in the frontier ⋈ pages join.
+- Arrow on: all extraction UDFs are Arrow-batched pandas UDFs; row-at-a-time
+  Python never touches the hot path (north_rule).
+- shuffle.partitions defaults to a multiple of parallelism; real deployments
+  override via spark-submit --conf (or rely on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Repo root (parent of this package). Python workers are separate processes
+# that do NOT inherit the driver's sys.path mutations — without this on
+# PYTHONPATH, any pandas UDF defined in this package fails to unpickle on
+# executors when the driver is launched from another directory. On a real
+# cluster the same is achieved with spark-submit --py-files.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_REPO_ROOT}{os.pathsep}{pp}" if pp else _REPO_ROOT
+    import sys
+
+    if _REPO_ROOT not in sys.path:
+        sys.path.insert(0, _REPO_ROOT)
+
+
+def get_spark(
+    app_name: str = "xtracted-crawlers-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    _ensure_pythonpath()
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; a real cluster passes an explicit value or lets AQE
+        # coalesce from a higher initial number.
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+        shuffle_partitions = 2 * os.cpu_count() if inner == "*" else 2 * int(inner)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

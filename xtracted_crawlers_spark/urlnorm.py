@@ -1,0 +1,116 @@
+"""URL canonicalization and identity — SURVEY.md §2 C1 / B4 / D1.
+
+Reference semantics (studied, not copied):
+- canonical identity ``url_id`` is the ASIN ``(B0|BT)[A-Z0-9]{8}`` parsed
+  from the ``/dp/`` segment of the URL *path*; the query string is ignored
+  for identity but preserved for fetching
+  (/root/reference/tests/integration/amazon_server.py:8 pins the pattern,
+  /root/reference/xtracted/crawlers/extractor_factory.py:18-20 matches on
+  ``url.path``, /root/reference/tests/integration/test_pg_crawl_job_syncer.py:84-89
+  pins query-insensitivity: same ASIN + ``?something=different`` ⇒ duplicate).
+- URL-type routing: a URL whose path matches is ``amazon_product``; anything
+  else routes to no extractor and is dropped
+  (extractor_factory.py:15-28 returns None).
+- ``root_url`` is ``scheme://netloc`` when the scheme starts with ``http``,
+  else None (amazon_async_product.py:21-26).
+
+Everything here is a JVM-side column expression (regexp / parse_url /
+xxhash64) — no Python on the hot path. The pure-Python mirrors at the bottom
+exist only for the parity simulator and golden tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from urllib.parse import urlparse
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ASIN pattern, applied to the URL *path* only (query string excluded).
+ASIN_PATH_RE = r"/dp/((?:B0|BT)[A-Z0-9]{8})"
+AMAZON_PRODUCT = "amazon_product"
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component of the URL (query excluded)."""
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def url_id(url: Column | str) -> Column:
+    """Canonical identity: ASIN from the /dp/ path segment; '' if no match."""
+    return F.regexp_extract(url_path(url), ASIN_PATH_RE, 1)
+
+
+def url_type(url: Column | str) -> Column:
+    """Extractor routing: 'amazon_product' when the path carries an ASIN,
+    NULL otherwise (NULL rows are dropped, mirroring the factory's None)."""
+    return F.when(url_id(url) != "", F.lit(AMAZON_PRODUCT)).otherwise(F.lit(None))
+
+
+# netloc per RFC 3986 authority: everything between '://' and the next
+# '/?#'. Spark's parse_url(HOST) strips the port; the reference's
+# urlparse().netloc keeps it (test URLs are http://localhost:{port}/dp/...),
+# so we extract the authority with a regexp instead.
+_NETLOC_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+
+def netloc(url: Column | str) -> Column:
+    """Authority component incl. port, mirroring urlparse().netloc."""
+    return F.regexp_extract(url, _NETLOC_RE, 1)
+
+
+def host(url: Column | str) -> Column:
+    """Scheduler partition key: lowercased netloc (host incl. port)."""
+    return F.lower(netloc(url))
+
+
+def root_url(url: Column | str) -> Column:
+    """scheme://netloc when scheme startswith http, else NULL."""
+    proto = F.parse_url(url, F.lit("PROTOCOL"))
+    return F.when(
+        proto.startswith("http"),
+        F.concat(proto, F.lit("://"), netloc(url)),
+    ).otherwise(F.lit(None))
+
+
+def seen_key(user_id: Column | str, job_id: Column | str, uid: Column | str) -> Column:
+    """64-bit hashed dedup key over the composite identity
+    (user_id, job_id, url_id) — the bloom/seen-set key (north_rule:
+    canonicalized + hashed)."""
+    return F.xxhash64(user_id, job_id, uid)
+
+
+def salted_host(host_col: Column | str, seq_col: Column | str, salt_n: int = 16) -> Column:
+    """Skew-mitigation partition key: hot hosts are spread over ``salt_n``
+    sub-keys so one domain can't pin a whole partition."""
+    return F.concat_ws("#", host_col, F.pmod(F.xxhash64(seq_col), F.lit(salt_n)).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirrors — parity simulator / golden tests ONLY (not hot path).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_ASIN_PY_RE = _re.compile(r"/dp/((?:B0|BT)[A-Z0-9]{8})")
+
+
+def py_url_id(url: str) -> Optional[str]:
+    m = _ASIN_PY_RE.search(urlparse(url).path)
+    return m.group(1) if m else None
+
+
+def py_url_type(url: str) -> Optional[str]:
+    return AMAZON_PRODUCT if py_url_id(url) else None
+
+
+def py_host(url: str) -> str:
+    return urlparse(url).netloc.lower()
+
+
+def py_root_url(url: str) -> Optional[str]:
+    p = urlparse(url)
+    if p.scheme.startswith("http"):
+        return f"{p.scheme}://{p.netloc}"
+    return None
