@@ -1,0 +1,52 @@
+import os
+
+import pytest
+
+from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return ParquetSnapshotCatalog(str(tmp_path / "warehouse"))
+
+
+def test_commit_load_roundtrip(spark, cat):
+    df = spark.range(10).withColumnRenamed("id", "x")
+    sid = cat.commit(df, "t", round_id=0, metrics={"rows": 10})
+    assert sid == 0
+    out = cat.load(spark, "t")
+    assert out.count() == 10
+    man = cat.manifest("t", 0)
+    assert man.metrics["rows"] == 10
+    assert man.files and all(f["bytes"] > 0 for f in man.files)
+
+
+def test_time_travel_and_history(spark, cat):
+    cat.commit(spark.range(5), "t", round_id=1)
+    cat.commit(spark.range(7), "t", round_id=2)
+    cat.commit(spark.range(9), "t", round_id=3)
+    assert cat.latest_snapshot("t") == 2
+    assert cat.load(spark, "t").count() == 9
+    assert cat.load(spark, "t", snapshot_id=0).count() == 5  # time travel
+    hist = cat.history("t")
+    assert [m.round_id for m in hist] == [1, 2, 3]
+    assert hist[2].parent_snapshot_id == 1
+
+
+def test_crash_before_manifest_is_invisible(spark, cat):
+    cat.commit(spark.range(5), "t")
+    # simulate a crashed writer: data dir exists, no manifest
+    orphan = cat._data_dir("t", 1)
+    spark.range(99).write.parquet(orphan)
+    assert cat.latest_snapshot("t") == 0
+    assert cat.load(spark, "t").count() == 5
+    # next commit reclaims the orphan dir
+    sid = cat.commit(spark.range(3), "t")
+    assert sid == 1
+    assert cat.load(spark, "t").count() == 3
+
+
+def test_missing_table_raises(spark, cat):
+    with pytest.raises(FileNotFoundError):
+        cat.load(spark, "nope")
+    assert not cat.exists("nope")

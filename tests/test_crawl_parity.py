@@ -1,0 +1,164 @@
+"""End-to-end crawl: Spark engine vs the pure-Python reference simulator.
+
+Same seeds + same pages + same politeness budget ⇒ identical final
+frontier state: statuses, retries, job_urls_seq (crawl-order invariant
+F1), URL-seen set, and byte-identical payload_json/text per url
+(BASELINE.json north_rule + input_hint).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark import fixtures
+from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+from xtracted_crawlers_spark.crawl import CrawlConfig, FRONTIER_TABLE, run_crawl
+from xtracted_crawlers_spark.simulator import ReferenceSimulator
+
+N_PAGES, N_SEEDS, N_HOSTS = 60, 40, 6
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    paths = fixtures.write_corpus(spark, out, N_PAGES, N_SEEDS, n_hosts=N_HOSTS)
+    return paths
+
+
+def _sim_inputs(spark, corpus):
+    pages = {
+        r["url"]: bytes(r["html"]).decode()
+        for r in spark.read.parquet(corpus["pages"]).collect()
+    }
+    seeds = sorted(
+        spark.read.parquet(corpus["seeds"]).collect(),
+        key=lambda r: (r["user_id"], r["job_id"], r["seed_idx"]),
+    )
+    robots = {
+        r["host"]: r["robots_txt"] for r in spark.read.parquet(corpus["robots"]).collect()
+    }
+    max_tokens = {
+        r["host"]: r["max_tokens"] for r in spark.read.parquet(corpus["robots"]).collect()
+    }
+    return pages, seeds, robots, max_tokens
+
+
+def _run_sim(spark, corpus, with_robots, max_rounds=10, **kw):
+    pages, seeds, robots, max_tokens = _sim_inputs(spark, corpus)
+    sim = ReferenceSimulator(
+        pages,
+        robots=robots if with_robots else None,
+        max_tokens=max_tokens if with_robots else None,
+        **kw,
+    )
+    by_job: dict = {}
+    for s in seeds:
+        by_job.setdefault((s["user_id"], s["job_id"]), []).append(s["url"])
+    for (u, j), urls in sorted(by_job.items()):
+        sim.submit(u, j, urls)
+    sim.run(max_rounds=max_rounds)
+    return sim
+
+
+def _final_state(spark, catalog):
+    df = ParquetSnapshotCatalog.load(catalog, spark, FRONTIER_TABLE)
+    return {
+        (r["user_id"], r["job_id"], r["url_id"]): r
+        for r in df.collect()
+    }
+
+
+def _assert_parity(engine_state, sim):
+    sim_rows = {(r["user_id"], r["job_id"], r["url_id"]): r for r in sim.frontier_rows()}
+    assert set(engine_state.keys()) == set(sim_rows.keys()), "URL-seen set differs"
+    for key, s in sim_rows.items():
+        e = engine_state[key]
+        assert e["status"] == s["status"], (key, e["status"], s["status"])
+        assert e["retries"] == s["retries"], (key, e["retries"], s["retries"])
+        assert e["job_urls_seq"] == s["job_urls_seq"], (
+            "crawl-order invariant broken",
+            key,
+            e["job_urls_seq"],
+            s["job_urls_seq"],
+        )
+        assert e["payload_json"] == s["payload_json"], key  # byte-identical
+        assert e["text"] == s["text"], key
+        assert list(e["errors"]) == s["errors"], key
+
+
+def test_parity_unbounded_budget(spark, corpus, tmp_path):
+    """budget=∞ ⇒ the schedule degenerates to the reference's pure FIFO."""
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    metrics = run_crawl(spark, catalog, pages, seeds, cfg=CrawlConfig(max_rounds=10))
+    sim = _run_sim(spark, corpus, with_robots=False)
+    _assert_parity(_final_state(spark, catalog), sim)
+    # dead URLs exhausted their 3 retries
+    assert any(m.get("fetch_missed", 0) > 0 for m in metrics)
+    final = _final_state(spark, catalog)
+    exhausted = [r for r in final.values() if r["retries"] >= 3]
+    assert exhausted and all(len(r["errors"]) == 3 for r in exhausted)
+    # no text mismatches: extraction reproduced the golden text everywhere
+    assert all(m.get("text_mismatch", 0) == 0 for m in metrics)
+
+
+def test_parity_with_politeness(spark, corpus, tmp_path):
+    """robots rules + host budgets + global cut: same ordering both sides."""
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    robots = spark.read.parquet(corpus["robots"])
+    cfg = CrawlConfig(round_seconds=10.0, global_budget=7, max_rounds=20)
+    run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg)
+    sim = _run_sim(
+        spark, corpus, with_robots=True, max_rounds=20, round_seconds=10.0, global_budget=7
+    )
+    _assert_parity(_final_state(spark, catalog), sim)
+
+
+def test_resume_from_snapshot(spark, corpus, tmp_path):
+    """Kill between rounds, restart, final state identical to uninterrupted."""
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    cfg_one = CrawlConfig(global_budget=10, max_rounds=1)
+    cfg_all = CrawlConfig(global_budget=10, max_rounds=30)
+
+    cat_a = ParquetSnapshotCatalog(str(tmp_path / "a"))
+    run_crawl(spark, cat_a, pages, seeds, cfg=cfg_all)
+
+    cat_b = ParquetSnapshotCatalog(str(tmp_path / "b"))
+    run_crawl(spark, cat_b, pages, seeds, cfg=cfg_one)  # round 1 then "crash"
+    run_crawl(spark, cat_b, pages, seeds, cfg=cfg_all)  # resume
+
+    a = _final_state(spark, cat_a)
+    b = _final_state(spark, cat_b)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["status"] == b[k]["status"], k
+        assert a[k]["job_urls_seq"] == b[k]["job_urls_seq"], k
+        assert a[k]["payload_json"] == b[k]["payload_json"], k
+    # lineage: every round left a manifest with metrics
+    hist = cat_b.history(FRONTIER_TABLE)
+    assert len(hist) >= 3
+    assert all(m.files for m in hist)
+
+
+def test_variant_expansion_discovers_new_urls(spark, corpus, tmp_path):
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"]).limit(10)
+    cfg = CrawlConfig(max_rounds=3, expand_variants=True, use_bloom=True, bloom_buckets=8)
+    metrics = run_crawl(spark, catalog, pages, seeds, cfg=cfg)
+    assert any(m.get("discovered", 0) > 0 for m in metrics)
+    fr = catalog.load(spark, FRONTIER_TABLE)
+    # discovered rows carry unique seqs continuing the per-user sequence
+    per_user = fr.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.countDistinct("job_urls_seq").alias("d"),
+        F.max("job_urls_seq").alias("mx"),
+    ).collect()
+    for r in per_user:
+        assert r["n"] == r["d"] == r["mx"]
+    # bloom state committed for resume
+    assert catalog.exists("seen_bloom")

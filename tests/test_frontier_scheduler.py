@@ -1,0 +1,159 @@
+"""Frontier ingest (dedup, seq, routing) + politeness scheduler semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark import frontier as FR
+from xtracted_crawlers_spark import scheduler, seen
+
+U1 = "00000000-0000-0000-0000-000000000001"
+U2 = "00000000-0000-0000-0000-000000000002"
+
+
+def _seeds(spark, rows):
+    return spark.createDataFrame(rows, "user_id string, job_id long, seed_idx int, url string")
+
+
+def test_ingest_dedup_and_seq(spark):
+    rows = [
+        (U1, 100, 0, "https://a.test/dp/B000000001"),
+        (U1, 100, 1, "https://a.test/dp/B000000002?x=1"),
+        (U1, 100, 2, "https://a.test/dp/B000000001?dup=yes"),  # dup identity
+        (U1, 100, 3, "https://a.test/search?q=junk"),  # unroutable
+        (U1, 101, 0, "https://a.test/dp/B000000001"),  # same asin, other job: kept
+        (U2, 100, 0, "https://b.test/dp/B000000009"),
+    ]
+    out = FR.ingest_seeds(_seeds(spark, rows)).orderBy("user_id", "job_urls_seq").collect()
+    assert len(out) == 4
+    u1 = [r for r in out if r["user_id"] == U1]
+    assert [(r["job_id"], r["url_id"], r["job_urls_seq"]) for r in u1] == [
+        (100, "B000000001", 1),
+        (100, "B000000002", 2),
+        (101, "B000000001", 3),
+    ]
+    # dup kept the FIRST url (seed_idx 0, no query)
+    assert u1[0]["url"] == "https://a.test/dp/B000000001"
+    u2 = [r for r in out if r["user_id"] == U2]
+    assert u2[0]["job_urls_seq"] == 1  # per-user sequence
+    assert all(r["status"] == "pending" and r["retries"] == 0 for r in out)
+
+
+def test_ingest_against_existing_frontier(spark):
+    first = FR.ingest_seeds(_seeds(spark, [(U1, 100, 0, "https://a.test/dp/B000000001")]))
+    second = FR.ingest_seeds(
+        _seeds(
+            spark,
+            [
+                (U1, 100, 0, "https://a.test/dp/B000000001?again=1"),  # already seen
+                (U1, 100, 1, "https://a.test/dp/B000000003"),
+            ],
+        ),
+        frontier=first,
+    ).collect()
+    assert len(second) == 1
+    assert second[0]["url_id"] == "B000000003"
+    assert second[0]["job_urls_seq"] == 2  # offset carried from existing frontier
+
+
+def test_reset_job(spark):
+    fr = FR.ingest_seeds(
+        _seeds(
+            spark,
+            [(U1, 100, 0, "https://a.test/dp/B000000001"), (U2, 100, 0, "https://a.test/dp/B000000002")],
+        )
+    )
+    done = fr.withColumn("status", F.lit("complete")).withColumn("retries", F.lit(2))
+    reset = FR.reset_job(done, U1, 100)
+    rows = {r["user_id"]: r for r in reset.collect()}
+    assert rows[U1]["status"] == "pending" and rows[U1]["retries"] == 0
+    assert rows[U2]["status"] == "complete" and rows[U2]["retries"] == 2
+    # seq survives reset (reference reset doesn't touch job_urls_seq)
+    assert rows[U1]["job_urls_seq"] == 1
+
+
+def test_selectable_filter(spark):
+    fr = FR.ingest_seeds(_seeds(spark, [(U1, 100, i, f"https://a.test/dp/B00000000{i}") for i in range(4)]))
+    fr = (
+        fr.withColumn("status", F.when(F.col("url_id") == "B000000000", "complete").otherwise(F.col("status")))
+        .withColumn("retries", F.when(F.col("url_id") == "B000000001", 3).otherwise(F.col("retries")))
+        .withColumn("status", F.when(F.col("url_id") == "B000000002", "running").otherwise(F.col("status")))
+    )
+    got = {r["url_id"] for r in FR.selectable(fr).collect()}
+    assert got == {"B000000002", "B000000003"}  # running-retry + pending
+
+
+def test_robots_parse():
+    dis, delay = scheduler.parse_robots(
+        "User-agent: googlebot\nDisallow: /private\n\n"
+        "User-agent: *\nDisallow: /gp/\nDisallow: /search\nCrawl-delay: 2\n# comment\nDisallow:\n"
+    )
+    assert dis == ["/gp/", "/search"]
+    assert delay == 2.0
+    assert scheduler.parse_robots("") == ([], None)
+
+
+def test_robots_gate_and_budget(spark):
+    fr = FR.ingest_seeds(
+        _seeds(
+            spark,
+            [(U1, 100, i, f"https://h1.test/dp/B0000000{i:02d}") for i in range(5)]
+            + [(U1, 100, 5, "https://h1.test/gp/dp/B000000099")]  # disallowed path
+            + [(U1, 100, 6, "https://h2.test/dp/B000000098")],
+        )
+    )
+    robots = spark.createDataFrame(
+        [("h1.test", "User-agent: *\nDisallow: /gp/\nCrawl-delay: 10", None, None)],
+        "host string, robots_txt string, crawl_delay_s double, max_tokens int",
+    )
+    rules = scheduler.robots_rules(robots)
+    sel = scheduler.select_round(FR.selectable(fr), rules, round_seconds=30.0).collect()
+    # h1 budget = floor(30/10)=3, /gp/ row excluded, h2 unlimited
+    h1 = sorted(r["job_urls_seq"] for r in sel if r["host"] == "h1.test")
+    assert h1 == [1, 2, 3]  # FIFO by seq
+    assert {r["url_id"] for r in sel if r["host"] == "h2.test"} == {"B000000098"}
+    assert all(r["url_id"] != "B000000099" for r in sel)
+
+
+def test_global_budget_cut(spark):
+    fr = FR.ingest_seeds(
+        _seeds(spark, [(U1, 100, i, f"https://h{i%3}.test/dp/B0000000{i:02d}") for i in range(9)])
+    )
+    sel = scheduler.select_round(FR.selectable(fr), None, global_budget=4).collect()
+    assert sorted(r["job_urls_seq"] for r in sel) == [1, 2, 3, 4]
+
+
+def test_bloom_no_false_negatives_and_authority(spark):
+    fr = FR.ingest_seeds(
+        _seeds(spark, [(U1, 100, i, f"https://h.test/dp/B0{i:08d}") for i in range(200)])
+    )
+    keys = fr.select("user_id", "job_id", "url_id")
+    bloom = seen.build_bloom(keys, n_buckets=8, expected_per_bucket=64).cache()
+    assert bloom.count() <= 8
+    # candidates: 100 seen + 150 new
+    cands = _seeds(
+        spark,
+        [(U1, 100, i, f"https://h.test/dp/B0{i:08d}?q=1") for i in range(100)]
+        + [(U1, 100, 1000 + i, f"https://h.test/dp/B0{9000+i:08d}") for i in range(150)],
+    )
+    cands = FR.canonicalize_candidates(cands)
+    flagged = seen.bloom_maybe_seen(cands, bloom, n_buckets=8)
+    seen_flags = {r["url_id"]: r["maybe_seen"] for r in flagged.collect()}
+    # zero false negatives: every truly-seen key must flag maybe_seen
+    for i in range(100):
+        assert seen_flags[f"B0{i:08d}"] is True
+    # end-to-end dedup equals plain anti-join (bloom is only a pruner)
+    with_bloom = {
+        r["url_id"] for r in seen.dedup_new_urls(cands, keys, bloom, n_buckets=8).collect()
+    }
+    without = {r["url_id"] for r in seen.dedup_new_urls(cands, keys, None).collect()}
+    assert with_bloom == without == {f"B0{9000+i:08d}" for i in range(150)}
+    bloom.unpersist()
+
+
+def test_bloom_merge(spark):
+    fr1 = FR.ingest_seeds(_seeds(spark, [(U1, 100, i, f"https://h.test/dp/B0{i:08d}") for i in range(50)]))
+    bloom = seen.build_bloom(fr1.select("user_id", "job_id", "url_id"), n_buckets=4)
+    new = FR.ingest_seeds(_seeds(spark, [(U1, 100, i, f"https://h.test/dp/B0{500+i:08d}") for i in range(50)]))
+    merged = seen.merge_bloom(bloom, new.select("user_id", "job_id", "url_id"), n_buckets=4)
+    flagged = seen.bloom_maybe_seen(new.select("user_id", "job_id", "url_id", "url"), merged, n_buckets=4)
+    assert all(r["maybe_seen"] for r in flagged.collect())  # no false negatives post-merge

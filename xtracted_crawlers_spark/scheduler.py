@@ -1,0 +1,152 @@
+"""Politeness scheduler: robots rules, crawl-delay token buckets, per-host
+priority queues with skew mitigation (new surface required by north_rule —
+the reference's only politeness is a global 1-task concurrency cap,
+crawler_configuration.py:6-11, so these semantics are defined HERE and
+documented as new; at test scale with budget=∞ the schedule degenerates to
+the reference's FIFO-by-seq order, which is the compatibility invariant).
+
+Per round:
+1. robots gate: rows whose URL path matches a Disallow prefix for their
+   host are excluded (never fetched, never retried — they stay pending
+   and are re-excluded each round; metrics count them);
+2. per-host budget = min(max_tokens, floor(round_seconds / crawl_delay))
+   — the token bucket a polite fetcher would accumulate over one round;
+   hosts without robots rows get ``default_budget``;
+3. two-level top-k: rank() within host by (priority, job_urls_seq) —
+   FIFO per host, matching the reference's pgmq order — cut at the host
+   budget, then a global ordered cut at ``global_budget``
+   (TakeOrderedAndProject, not a full sort);
+4. skew: the downstream fetch/extract stage repartitions by salted host
+   so one hot host spreads over many partitions (urlnorm.salted_host);
+   the rank window itself is per-host and bounded by the budget cut.
+
+All pure DataFrame ops — Catalyst handles pushdown; the robots table and
+budget table are tiny and broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import urlnorm
+
+_DEFAULT_ROUND_SECONDS = 60.0
+
+
+def parse_robots(robots_txt: str) -> tuple[list[str], Optional[float]]:
+    """Minimal robots.txt subset for the 'User-agent: *' group:
+    Disallow path prefixes (empty Disallow = allow all) and Crawl-delay.
+    Pure function; used both by the vectorized parser and the simulator."""
+    disallow: list[str] = []
+    delay: Optional[float] = None
+    applies = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+        elif applies and key == "disallow" and val:
+            disallow.append(val)
+        elif applies and key == "crawl-delay":
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return disallow, delay
+
+
+def robots_rules(robots: DataFrame) -> DataFrame:
+    """(host, disallow array, crawl_delay_s, max_tokens) from the raw
+    robots table; parsing is one Arrow batch pass over a tiny table."""
+
+    @F.pandas_udf("disallow array<string>, delay double")
+    def parse(txt: pd.Series) -> pd.DataFrame:
+        rows = [parse_robots(t) for t in txt]
+        return pd.DataFrame({"disallow": [r[0] for r in rows], "delay": [r[1] for r in rows]})
+
+    out = robots.withColumn("_p", parse("robots_txt"))
+    return out.select(
+        "host",
+        F.col("_p.disallow").alias("disallow"),
+        F.coalesce(F.col("crawl_delay_s"), F.col("_p.delay"), F.lit(0.0)).alias("crawl_delay_s"),
+        F.coalesce(F.col("max_tokens"), F.lit(2**31 - 1)).alias("max_tokens"),
+    )
+
+
+def host_budgets(
+    rules: DataFrame,
+    round_seconds: float = _DEFAULT_ROUND_SECONDS,
+) -> DataFrame:
+    """(host, budget): the per-round token bucket. crawl_delay=0 ⇒ only
+    max_tokens caps the host."""
+    return rules.select(
+        "host",
+        F.least(
+            F.col("max_tokens").cast("long"),
+            F.when(
+                F.col("crawl_delay_s") > 0,
+                F.floor(F.lit(round_seconds) / F.col("crawl_delay_s")),
+            ).otherwise(F.lit(2**62)),
+        ).alias("budget"),
+    )
+
+
+def apply_robots_gate(selectable: DataFrame, rules: Optional[DataFrame]) -> DataFrame:
+    """Drop rows whose URL path hits a Disallow prefix for their host."""
+    if rules is None:
+        return selectable
+    gated = selectable.join(
+        F.broadcast(rules.select("host", "disallow")), "host", "left"
+    )
+    path = F.parse_url("url", F.lit("PATH"))
+    blocked = F.exists(
+        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    return gated.filter(~blocked).drop("disallow")
+
+
+def select_round(
+    selectable: DataFrame,
+    rules: Optional[DataFrame] = None,
+    round_seconds: float = _DEFAULT_ROUND_SECONDS,
+    default_budget: Optional[int] = None,
+    global_budget: Optional[int] = None,
+) -> DataFrame:
+    """The round's fetch set: robots gate → per-host FIFO rank ≤ budget →
+    global ordered cut."""
+    gated = apply_robots_gate(selectable, rules)
+    # full tie-break (user_id, job_id, url_id) — two users can share a
+    # (priority, seq) pair; the schedule must be deterministic for parity
+    order = ["priority", "job_urls_seq", "user_id", "job_id", "url_id"]
+    w = Window.partitionBy("host").orderBy(*order)
+    ranked = gated.withColumn("_host_rank", F.row_number().over(w))
+    if rules is not None:
+        budgets = host_budgets(rules, round_seconds)
+        ranked = ranked.join(F.broadcast(budgets), "host", "left")
+    else:
+        ranked = ranked.withColumn("budget", F.lit(None).cast("long"))
+    eff_default = default_budget if default_budget is not None else 2**62
+    ranked = ranked.withColumn("_budget", F.coalesce(F.col("budget"), F.lit(eff_default)))
+    cut = ranked.filter(F.col("_host_rank") <= F.col("_budget")).drop("budget", "_budget")
+    if global_budget is not None:
+        # ordered global cut — top-k by crawl order, not a full sort
+        cut = cut.orderBy(*order).limit(global_budget)
+    return cut.drop("_host_rank")
+
+
+def salted_repartition(df: DataFrame, salt_n: int = 16, partitions: Optional[int] = None) -> DataFrame:
+    """Spread hot hosts across partitions for the fetch/extract stage."""
+    key = urlnorm.salted_host(F.col("host"), F.col("job_urls_seq"), salt_n)
+    if partitions:
+        return df.repartition(partitions, key)
+    return df.repartition(key)

@@ -1,0 +1,192 @@
+"""Pure-Python reference simulator — the parity oracle for crawl ordering,
+final URL-seen set, and extraction bytes (SURVEY.md §5 "crawl-equivalence").
+
+Encodes the reference's observable semantics (§2 B/C/F) with plain dicts
+and the SAME pure extraction kernel the engine's Arrow UDF uses
+(extract.extract_one), so engine-vs-simulator equality checks ordering and
+state-machine logic, while extraction byte-equality is checked separately
+against golden fixtures. Deliberately sequential and driver-side — it is
+a test oracle, never a production path.
+
+Semantics mirrored:
+- seed ingest in submission order; first occurrence of an identity wins
+  (check-then-insert, crawlers_services.py:76-95); unroutable URLs are
+  dropped (extractor_factory.py returns None);
+- job_urls_seq: per-user counter incremented per successful insert;
+- per round: eligible = status∈{pending,running} ∧ retries<3, robots
+  Disallow gate, per-host FIFO by (priority, seq) capped by the host
+  budget, then global cut by (priority, seq);
+- fetch hit ⇒ extract; success ⇒ complete+payload; failure or fetch miss
+  ⇒ status running, retries+1, error appended; give-up at 3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .extract import extract_one
+from .scheduler import parse_robots
+from .urlnorm import py_host, py_url_id, py_url_type
+
+
+@dataclass
+class SimRow:
+    user_id: str
+    job_id: int
+    url_id: str
+    url: str
+    url_type: str
+    host: str
+    status: str = "pending"
+    retries: int = 0
+    errors: list[str] = field(default_factory=list)
+    priority: int = 0
+    job_urls_seq: int = 0
+    payload_json: Optional[str] = None
+    text: Optional[str] = None
+    round: int = 0
+
+
+class ReferenceSimulator:
+    def __init__(
+        self,
+        pages: dict[str, str],  # url -> html
+        robots: Optional[dict[str, str]] = None,  # host -> robots_txt
+        round_seconds: float = 60.0,
+        default_budget: Optional[int] = None,
+        global_budget: Optional[int] = None,
+        max_tokens: Optional[dict[str, int]] = None,
+    ):
+        self.pages = pages
+        self.rows: dict[tuple[str, int, str], SimRow] = {}
+        self.seq: dict[str, int] = {}
+        self.round_seconds = round_seconds
+        self.default_budget = default_budget if default_budget is not None else 2**62
+        self.global_budget = global_budget
+        self.rules: dict[str, tuple[list[str], Optional[float]]] = {}
+        self.max_tokens = max_tokens or {}
+        for h, txt in (robots or {}).items():
+            self.rules[h] = parse_robots(txt)
+
+    # -- ingest -------------------------------------------------------------
+    def submit(self, user_id: str, job_id: int, urls: list[str]) -> None:
+        for url in urls:
+            uid = py_url_id(url)
+            ty = py_url_type(url)
+            if not uid or not ty:
+                continue  # no extractor routes it
+            key = (user_id, job_id, uid)
+            if key in self.rows:
+                continue  # duplicate identity
+            self.seq[user_id] = self.seq.get(user_id, 0) + 1
+            self.rows[key] = SimRow(
+                user_id=user_id,
+                job_id=job_id,
+                url_id=uid,
+                url=url,
+                url_type=ty,
+                host=py_host(url),
+                job_urls_seq=self.seq[user_id],
+            )
+
+    # -- politeness ----------------------------------------------------------
+    def _host_budget(self, host: str) -> int:
+        rule = self.rules.get(host)
+        budget = self.default_budget if rule is None else 2**62
+        if rule is not None and rule[1]:
+            budget = min(budget, int(self.round_seconds / rule[1]))
+        if host in self.max_tokens:
+            budget = min(budget, self.max_tokens[host])
+        return budget
+
+    def _disallowed(self, row: SimRow) -> bool:
+        rule = self.rules.get(row.host)
+        if not rule:
+            return False
+        from urllib.parse import urlparse
+
+        path = urlparse(row.url).path
+        return any(path.startswith(p) for p in rule[0])
+
+    # -- rounds ---------------------------------------------------------------
+    def run_round(self, round_id: int) -> dict[str, Any]:
+        eligible = [
+            r
+            for r in self.rows.values()
+            if r.status in ("pending", "running") and r.retries < 3 and not self._disallowed(r)
+        ]
+        eligible.sort(key=lambda r: (r.priority, r.job_urls_seq, r.user_id, r.job_id, r.url_id))
+        taken: list[SimRow] = []
+        per_host: dict[str, int] = {}
+        for r in eligible:
+            if per_host.get(r.host, 0) >= self._host_budget(r.host):
+                continue
+            per_host[r.host] = per_host.get(r.host, 0) + 1
+            taken.append(r)
+        if self.global_budget is not None:
+            taken = taken[: self.global_budget]
+        completed = failed = missed = 0
+        for r in taken:
+            r.round = round_id
+            html = self.pages.get(r.url)
+            if html is None:
+                r.status = "running"
+                r.retries += 1
+                r.errors.append("ExtractionError('fetch miss: url absent from pages')")
+                missed += 1
+                continue
+            pj, tx, er = extract_one(r.url, html)
+            if er is None:
+                r.status = "complete"
+                r.payload_json = pj
+                r.text = tx
+                completed += 1
+            else:
+                r.status = "running"
+                r.retries += 1
+                r.errors.append(er)
+                failed += 1
+        return {
+            "round": round_id,
+            "selected": len(taken),
+            "completed": completed,
+            "extract_failed": failed,
+            "fetch_missed": missed,
+        }
+
+    def run(self, max_rounds: int = 100) -> list[dict[str, Any]]:
+        out = []
+        for r in range(1, max_rounds + 1):
+            m = self.run_round(r)
+            out.append(m)
+            if m["selected"] == 0:
+                break
+        return out
+
+    # -- oracle views ----------------------------------------------------------
+    def frontier_rows(self) -> list[dict[str, Any]]:
+        return [
+            {
+                "user_id": r.user_id,
+                "job_id": r.job_id,
+                "url_id": r.url_id,
+                "url": r.url,
+                "status": r.status,
+                "retries": r.retries,
+                "errors": list(r.errors),
+                "job_urls_seq": r.job_urls_seq,
+                "payload_json": r.payload_json,
+                "text": r.text,
+            }
+            for r in self.rows.values()
+        ]
+
+    def seen_set(self) -> set[tuple[str, int, str]]:
+        return set(self.rows.keys())
+
+    def crawl_order(self) -> list[tuple[str, int]]:
+        """(user_id, seq) in crawl order per user — the F1 invariant."""
+        done = [r for r in self.rows.values() if r.status == "complete"]
+        done.sort(key=lambda r: (r.user_id, r.round, r.priority, r.job_urls_seq))
+        return [(r.user_id, r.job_urls_seq) for r in done]
