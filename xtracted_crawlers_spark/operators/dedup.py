@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a pure DataFrame plan (no Python on the hot path):
+
+- exact: hash-groupBy on a normalized fingerprint; canonical row = min id.
+- n-gram Jaccard: 3-word shingles → shared-shingle self-join →
+  |∩|/|∪| — exact pairwise similarity, pruned to pairs sharing ≥1 shingle.
+- MinHash + LSH: per-doc signature of P minima of md5(shingle#perm);
+  banding pairs docs that agree on any band — candidate generation is a
+  bucket join (linear-ish), est. similarity = matching signature fraction.
+  At 100 TB this is THE scalable near-dup path: shingle explosion and
+  signature build are map-side, the only shuffle is groupBy(doc) +
+  band bucket join; hot bands (boilerplate) can be salted or capped.
+- SimHash: 16-bit signature from md5 hex digits of words — hamming-style
+  bucketing; 16 bits keeps it exactly expressible in the DuckDB oracle
+  (the 64-bit xxhash64 variant is the same plan with a wider signature).
+
+md5 (not xxhash64) is used wherever the DuckDB oracle must reproduce the
+value byte-for-byte; both engines implement identical RFC-1321 md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint
+
+N_PERMS = 8
+BAND_SIZE = 2  # 4 bands of 2
+
+
+def words_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("words"),
+    )
+
+
+def shingle_array(text_col, n: int = 3):
+    """Per-row distinct n-word shingle array — array_distinct instead of a
+    DataFrame distinct(), so shingle generation costs ZERO shuffles.
+    Spark `sequence` descends when stop<start, so short docs are guarded
+    to an empty list."""
+    words = F.split(F.trim(text_col), r"\s+")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc, one row per (doc, shingle)."""
+    return docs.select(
+        F.col("doc_id"), F.explode(shingle_array(F.col("text"), n)).alias("shingle")
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, canonical_id): one row per distinct content."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets for pairs sharing ≥1 shingle.
+    Output (doc_a < doc_b, jaccard rounded 4dp)."""
+    sh = shingles_df(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, sig array<string>): P independent minima of
+    md5(shingle || '#' || perm).
+
+    Computed as a pure per-row projection (array_min over a transform of
+    the per-row shingle array) — no explode, no groupBy, NO SHUFFLE. At
+    100 TB this stage is map-only; the only shuffle in the whole LSH
+    plan is the band-bucket join. Docs too short for any shingle are
+    dropped (same as the old explode+groupBy formulation)."""
+    sh = shingle_array(F.col("text"), n)
+    out = docs.select(F.col("doc_id"), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_sh", lambda s: F.md5(F.concat(s, F.lit(f"#{j}")))))
+            for j in range(n_perms)
+        ]
+    )
+    return out.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded LSH candidate pairs with estimated similarity =
+    fraction of matching signature slots. Output (doc_a, doc_b, est_sim)."""
+    sig = minhash_signatures(docs, n, n_perms).cache()
+    n_bands = n_perms // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("sig")[b * band_size + k] for k in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .withColumn(
+            "est_sim",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ).cast("double")
+                / F.lit(n_perms),
+                4,
+            ),
+        )
+        .filter(F.col("est_sim") >= threshold)
+        .select("doc_a", "doc_b", "est_sim")
+    )
+    return est
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash string of 16 bits): bit p set iff the majority of
+    words have md5 hex digit p in [8..f]. 16 bits so the DuckDB oracle can
+    reproduce it exactly; widen via xxhash64 for the 64-bit scale variant."""
+    w = words_df(docs, id_col, text_col).select(
+        "doc_id", F.explode("words").alias("word")
+    )
+    h = w.withColumn("h", F.md5("word"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.substring("h", p + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{p}")
+        for p in range(16)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_aggs)
+    return agg.select(
+        "doc_id",
+        F.concat(
+            *[F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(16)]
+        ).alias("simhash"),
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. All arithmetic in
+  double (cast before multiply) with left-to-right summation so the
+  DuckDB oracle (list_dot_product on DOUBLE[]) reproduces the rounded
+  score bit-for-bit.
+- LSH-bucketed ANN: sign-random-projection buckets from deterministic
+  md5-derived hyperplanes; candidates = bucket collisions (multi-probe
+  via several independent tables), exact re-rank inside the candidate
+  set. This is the scale path: the cross join shrinks from |Q|×|N| to
+  |Q|×(bucket size), and buckets are a plain groupBy key — shuffle-
+  friendly and skew-handleable like any hash key.
+
+No Python in either plan — zip_with/aggregate/transform are all
+codegen'd JVM expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(col):
+    return F.col(col).cast("array<double>")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col("_v")
+    return df.withColumn("_v", _dbl(vec_col)).withColumn(
+        "_norm",
+        F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)),
+    )
+
+
+def _cosine(a, b, na, nb):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (brute force): output
+    (query_id, neighbor_id, rank, cosine rounded 4dp), self excluded.
+    Queries are broadcast — the big side streams once."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    n = with_norm(items, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("nv"), F.col("_norm").alias("nn")
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 4))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def near_dup_pairs(
+    items: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b, cosine ≥ threshold)."""
+    n = with_norm(items, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_v").alias("v"), F.col("_norm").alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cosine",
+            F.round(_cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "cosine")
+    )
+
+
+def _hyperplane(plane: int, dim: int, tag: str = "srp") -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) from
+    md5 — no RNG state, same plane on every executor/run."""
+    h = hashlib.md5(f"{tag}:{plane}:{dim}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**63 - 1.0
+
+
+def srp_bucket(vec_col, n_planes: int, dim: int, table: int = 0):
+    """Sign-random-projection bucket id column: n_planes sign bits."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_hyperplane(p + table * 1000, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket collisions, exact
+    cosine re-rank on the candidate set. Recall grows with n_tables."""
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                df.select(
+                    F.col(id_col).alias(f"{side}_id"),
+                    F.col(vec_col).alias(f"{side}_vec"),
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(vec_col, n_planes, dim, table=t).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = bucketed(queries, "q")
+    nb = bucketed(items, "n")
+    cand = (
+        qb.join(nb, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    qv, nv = F.col("q_vec").cast("array<double>"), F.col("n_vec").cast("array<double>")
+    qn = F.sqrt(F.aggregate(F.zip_with(qv, qv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    nn = F.sqrt(F.aggregate(F.zip_with(nv, nv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    scored = cand.withColumn("cosine", F.round(_cosine(qv, nv, qn, nn), 4)).select(
+        F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "cosine"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

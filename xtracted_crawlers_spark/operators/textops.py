@@ -1,0 +1,112 @@
+"""Text analysis operators — JVM-side column expressions only.
+
+Every function here returns Column expressions built from pyspark.sql
+built-ins (split/regexp/length/md5), so the hot path is whole-stage
+codegen with zero Python. Each has an exact DuckDB-SQL twin in
+__spark_entry__.oracle_sql() — the semantics are deliberately chosen to be
+expressible identically in both engines (ASCII \\w tokenization, marker-
+word occurrence counts) so the driver can value-hash-compare them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker words: space-delimited so they only match whole words.
+# Deterministic, closed-world language ID (en/de/es/fr + und fallback) —
+# an n-gram-profile classifier is out of scope for an exact SQL oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " de ", " la "],
+    "fr": [" le ", " la ", " et "],
+}
+
+STOPWORDS = [" the ", " a ", " and ", " of ", " to "]
+
+PUNCT_CLASS = r"""[.,;:!?'"()\[\]{}-]"""
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping needle occurrences via the length-delta trick
+    — identical semantics in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace-delimited word count; 0 for blank text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: ASCII word runs + each non-word-non-space char
+    (CJK text degrades to per-character tokens, as a byte-level BPE would)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - stripped).cast("double") / n, 4)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = None
+    for w in STOPWORDS:
+        c = occurrences(padded, w)
+        hits = c if hits is None else hits + c
+    wc = word_count(text)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / wc, 4)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: length band + word-length sanity +
+    punctuation sanity + stopword presence. Deterministic, oracle-exact."""
+    wc = word_count(text)
+    awl = F.when(wc == 0, F.lit(0.0)).otherwise(F.length(F.trim(text)).cast("double") / wc)
+    s_len = F.when((wc >= 20) & (wc <= 10000), 0.25).otherwise(0.0)
+    s_awl = F.when((awl >= 3.0) & (awl <= 12.0), 0.25).otherwise(0.0)
+    s_punct = F.when(punct_ratio(text) <= 0.2, 0.25).otherwise(0.0)
+    s_stop = F.when(stopword_ratio(text) >= 0.01, 0.25).otherwise(0.0)
+    return F.round(s_len + s_awl + s_punct + s_stop, 2)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word argmax language ID over a closed language set; 'und'
+    when no marker fires. Ties broken by fixed language order."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum_cols([occurrences(padded, m) for m in markers])
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed fixed order so earlier languages win ties via last-when-wins
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (the rolling-hash document signature, exact-dedup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

@@ -1,0 +1,42 @@
+"""Deterministic URL synthesis from TPC-H keys — the bridge that lets the
+crawl operators (canonicalize / dedup / schedule / fetch-join) be
+oracle-checked by DuckDB over the driver's shared parquet tables.
+
+Both engines derive the identical URL string from an integer key:
+  https://shop{key%50:05d}.example.test/dp/B0{upper(md5(key)[:8])}{?ref=x}
+md5 is RFC-1321 in both engines, so url/url_id/host match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HOST_MOD = 50
+QUERY_MOD = 3
+
+
+def url_from_key(key: Column) -> Column:
+    k = key.cast("long")
+    return F.concat(
+        F.lit("https://shop"),
+        F.lpad((k % HOST_MOD).cast("string"), 5, "0"),
+        F.lit(".example.test/dp/B0"),
+        F.upper(F.substring(F.md5(k.cast("string")), 1, 8)),
+        F.when(k % QUERY_MOD == 0, F.lit("?ref=x")).otherwise(F.lit("")),
+    )
+
+
+def sql_url_from_key(key_expr: str) -> str:
+    """The DuckDB twin of url_from_key (ANSI-ish SQL string)."""
+    return (
+        f"'https://shop' || lpad(cast(({key_expr}) % {HOST_MOD} as varchar), 5, '0') "
+        f"|| '.example.test/dp/B0' || upper(substr(md5(cast(({key_expr}) as varchar)), 1, 8)) "
+        f"|| case when ({key_expr}) % {QUERY_MOD} = 0 then '?ref=x' else '' end"
+    )
+
+
+def urls_from(df: DataFrame, key_col: str) -> DataFrame:
+    return df.select(
+        F.col(key_col).cast("long").alias("k"), url_from_key(F.col(key_col)).alias("url")
+    )

@@ -1,0 +1,4 @@
+"""Table sources/sinks: schema-enforced readers for the pages corpus and
+crawl-state tables, parquet now, Iceberg-ready (same call sites)."""
+
+from .pages import read_pages, PAGES_TABLE_SCHEMA  # noqa: F401

@@ -1,0 +1,80 @@
+"""Streaming crawl: seeds arrive continuously, rounds run per micro-batch.
+
+The reference's always-on worker loop (pg_crawl_job_worker.py: long-poll
+pgmq, dispatch events) maps to Structured Streaming: a file-source stream
+of seed batches feeds ``foreachBatch``, and each micro-batch performs the
+same transactional unit the batch loop does — ingest new seeds into the
+frontier snapshot, then run one crawl round. Exactly-once state comes
+from the snapshot catalog's atomic commits (the streaming checkpoint
+handles source offsets; frontier state is ours and idempotent).
+
+Batch and streaming share ALL the logic — frontier.ingest_seeds and
+crawl.run_round are called unchanged — so semantics can't fork.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import frontier as FR
+from ..catalog import ParquetSnapshotCatalog
+from ..crawl import FRONTIER_TABLE, CrawlConfig, run_round
+
+SEEDS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("job_id", T.LongType()),
+        T.StructField("seed_idx", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def stream_seed_ingest(
+    spark: SparkSession,
+    seeds_dir: str,
+    catalog: ParquetSnapshotCatalog,
+    pages: DataFrame,
+    checkpoint_dir: str,
+    cfg: Optional[CrawlConfig] = None,
+    rules: Optional[DataFrame] = None,
+    available_now: bool = True,
+):
+    """Start the streaming crawl over a seed-file directory source.
+
+    With ``available_now`` the query drains existing files and stops —
+    the test/bench mode; a production deployment drops that trigger and
+    runs continuously.
+    """
+    cfg = cfg or CrawlConfig()
+    state: dict[str, Any] = {"round": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        existing = (
+            catalog.load(spark, FRONTIER_TABLE) if catalog.exists(FRONTIER_TABLE) else None
+        )
+        new_rows = FR.ingest_seeds(batch_df, existing, round_id=state["round"])
+        full = existing.unionByName(new_rows) if existing is not None else new_rows
+        catalog.commit(
+            full,
+            FRONTIER_TABLE,
+            round_id=state["round"],
+            metrics={"event": "stream_ingest", "batch_id": batch_id},
+        )
+        state["round"] += 1
+        run_round(spark, catalog, pages, state["round"], cfg, rules)
+
+    stream = (
+        spark.readStream.schema(SEEDS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seeds_dir)
+    )
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
