@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-REPS = 3
+REPS = int(os.environ.get("SCALE_REPS", "2"))
 
 
 def measure(cpus: int, n_pages: int) -> dict:
