@@ -110,6 +110,28 @@ def main() -> None:
         ).first()
         return int(row["n"])
 
+    # full crawl rounds end-to-end (selection → fetch join → extraction →
+    # snapshot merge commit), including all checkpoint IO
+    import shutil
+
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, run_crawl
+
+    wh = os.path.join(CACHE_ROOT, "bench_wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    catalog = ParquetSnapshotCatalog(wh)
+    n_seeds = max(500, n_pages // 4)
+    seeds = fixtures.gen_seeds(spark, n_pages, n_seeds, n_hosts=200)
+    t0 = time.time()
+    ms = run_crawl(spark, catalog, pages, seeds,
+                   cfg=CrawlConfig(max_rounds=2, global_budget=n_seeds))
+    crawl_dt = time.time() - t0
+    crawled = sum(m.get("completed", 0) + m.get("extract_failed", 0)
+                  + m.get("fetch_missed", 0) for m in ms)
+    timings["crawl_rounds"] = round(crawl_dt, 3)
+    crawl_urls_per_sec = round(crawled / crawl_dt, 1) if crawl_dt else 0.0
+
     qs = entrymod.queries()
     for name in HEADLINE:
         t0 = time.time()
@@ -129,6 +151,8 @@ def main() -> None:
                 "extract_pages": n_pages,
                 "extract_ok": int(agg["ok"]),
                 "extract_urls_per_sec": urls_per_sec,
+                "crawl_round_urls": crawled,
+                "crawl_round_urls_per_sec": crawl_urls_per_sec,
             }
         )
     )

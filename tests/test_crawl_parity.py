@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from xtracted_crawlers_spark import fixtures
 from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
-from xtracted_crawlers_spark.crawl import CrawlConfig, FRONTIER_TABLE, run_crawl
+from xtracted_crawlers_spark.crawl import CrawlConfig, FRONTIER_TABLE, load_frontier, run_crawl
 from xtracted_crawlers_spark.simulator import ReferenceSimulator
 
 N_PAGES, N_SEEDS, N_HOSTS = 60, 40, 6
@@ -62,7 +62,7 @@ def _run_sim(spark, corpus, with_robots, max_rounds=10, **kw):
 
 
 def _final_state(spark, catalog):
-    df = ParquetSnapshotCatalog.load(catalog, spark, FRONTIER_TABLE)
+    df = load_frontier(spark, catalog)
     return {
         (r["user_id"], r["job_id"], r["url_id"]): r
         for r in df.collect()
@@ -145,6 +145,32 @@ def test_resume_from_snapshot(spark, corpus, tmp_path):
     assert all(m.files for m in hist)
 
 
+def test_delta_storage_equals_full_rewrite(spark, corpus, tmp_path):
+    """Merge-on-read delta commits (only touched rows per round, periodic
+    compaction) must yield the same final state as full rewrites."""
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    cat_d = ParquetSnapshotCatalog(str(tmp_path / "d"))
+    cat_f = ParquetSnapshotCatalog(str(tmp_path / "f"))
+    run_crawl(spark, cat_d, pages, seeds,
+              cfg=CrawlConfig(global_budget=9, max_rounds=30,
+                              frontier_storage="delta", compact_every=3))
+    run_crawl(spark, cat_f, pages, seeds,
+              cfg=CrawlConfig(global_budget=9, max_rounds=30, frontier_storage="full"))
+    d, f = _final_state(spark, cat_d), _final_state(spark, cat_f)
+    assert set(d) == set(f)
+    for k in d:
+        for col in ("status", "retries", "job_urls_seq", "payload_json", "errors"):
+            assert d[k][col] == f[k][col], (k, col)
+    kinds = [m.metrics.get("kind") for m in cat_d.history(FRONTIER_TABLE)]
+    assert "delta" in kinds and kinds.count("base") >= 2  # bootstrap + compaction
+    # delta snapshots are small: write amplification bounded by round size
+    hist = cat_d.history(FRONTIER_TABLE)
+    delta_bytes = [sum(fl["bytes"] for fl in m.files) for m in hist if m.metrics.get("kind") == "delta"]
+    base_bytes = [sum(fl["bytes"] for fl in m.files) for m in hist if m.metrics.get("kind") == "base"]
+    assert min(delta_bytes) < max(base_bytes)
+
+
 def test_variant_expansion_discovers_new_urls(spark, corpus, tmp_path):
     catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
     pages = spark.read.parquet(corpus["pages"])
@@ -152,7 +178,7 @@ def test_variant_expansion_discovers_new_urls(spark, corpus, tmp_path):
     cfg = CrawlConfig(max_rounds=3, expand_variants=True, use_bloom=True, bloom_buckets=8)
     metrics = run_crawl(spark, catalog, pages, seeds, cfg=cfg)
     assert any(m.get("discovered", 0) > 0 for m in metrics)
-    fr = catalog.load(spark, FRONTIER_TABLE)
+    fr = load_frontier(spark, catalog)
     # discovered rows carry unique seqs continuing the per-user sequence
     per_user = fr.groupBy("user_id").agg(
         F.count("*").alias("n"), F.countDistinct("job_urls_seq").alias("d"),

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from xtracted_crawlers_spark import fixtures, plans
 from xtracted_crawlers_spark import frontier as FR
 from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
-from xtracted_crawlers_spark.crawl import FRONTIER_TABLE, CrawlConfig
+from xtracted_crawlers_spark.crawl import FRONTIER_TABLE, CrawlConfig, load_frontier
 from xtracted_crawlers_spark.operators import dedup
 from xtracted_crawlers_spark.sources import read_pages
 
@@ -103,7 +103,7 @@ def test_streaming_seed_ingest(spark, tmp_path):
         cfg=CrawlConfig(max_rounds=5),
     )
     q.awaitTermination(120)
-    fr = catalog.load(spark, FRONTIER_TABLE)
+    fr = load_frontier(spark, catalog)
     stats = {r["status"]: r["n"] for r in fr.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert stats.get("complete", 0) > 0
     hist = catalog.history(FRONTIER_TABLE)

@@ -50,9 +50,49 @@ class CrawlConfig:
     bloom_buckets: int = 64
     salt_n: int = 16
     extract_partitions: Optional[int] = None
+    # frontier storage: 'delta' commits only the rows a round touched
+    # (merge-on-read, Iceberg MoR semantics on the parquet fallback) with a
+    # full compaction every compact_every rounds; 'full' rewrites the whole
+    # frontier per round (simple, but O(frontier) write amplification — at
+    # a 10^10-row frontier only 'delta' survives).
+    frontier_storage: str = "delta"
+    compact_every: int = 8
 
 
 FRONTIER_TABLE = "frontier"
+
+
+def load_frontier(spark: SparkSession, catalog: ParquetSnapshotCatalog) -> DataFrame:
+    """Current frontier state: latest base snapshot + every later delta,
+    resolved to the newest row per key (merge-on-read). Read amplification
+    is bounded by compact_every."""
+    hist = catalog.history(FRONTIER_TABLE)
+    if not hist:
+        raise FileNotFoundError("frontier has no committed snapshot")
+    base_idx = max(
+        (i for i, m in enumerate(hist) if m.metrics.get("kind", "base") == "base"),
+        default=0,
+    )
+    parts = []
+    for m in hist[base_idx:]:
+        parts.append(
+            catalog.load(spark, FRONTIER_TABLE, m.snapshot_id).withColumn(
+                "_snap", F.lit(m.snapshot_id)
+            )
+        )
+    if len(parts) == 1:
+        return parts[0].drop("_snap")
+    from pyspark.sql import Window
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(*KEY).orderBy(F.desc("_snap"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_snap")
+    )
 
 
 def bootstrap(
@@ -63,12 +103,15 @@ def bootstrap(
 ) -> int:
     """Seed ingest → frontier snapshot 0 (A1). Idempotent against an
     existing frontier (anti-join dedup)."""
-    existing = catalog.load(spark, FRONTIER_TABLE) if catalog.exists(FRONTIER_TABLE) else None
+    existing = load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
     new_rows = FR.ingest_seeds(seeds, existing, priority=priority, round_id=0)
     full = existing.unionByName(new_rows) if existing is not None else new_rows
     n_new = new_rows.count()
     return catalog.commit(
-        full, FRONTIER_TABLE, round_id=0, metrics={"event": "bootstrap", "new_urls": n_new}
+        full,
+        FRONTIER_TABLE,
+        round_id=0,
+        metrics={"event": "bootstrap", "new_urls": n_new, "kind": "base"},
     )
 
 
@@ -89,7 +132,7 @@ def run_round(
 ) -> dict[str, Any]:
     """One crawl round. Returns the metrics dict (also persisted in the
     snapshot manifest). metrics['selected']==0 means the crawl is done."""
-    fr = catalog.load(spark, FRONTIER_TABLE)
+    fr = load_frontier(spark, catalog)
 
     sel = scheduler.select_round(
         FR.selectable(fr),
@@ -170,6 +213,7 @@ def run_round(
 
     # --- discovery: variant URL expansion (flag-gated; C3) ----------------
     new_frontier = _merge_updates(fr, updated)
+    delta = updated.select(*fr.columns)
     if cfg.expand_variants:
         cands = (
             ok.select(
@@ -204,6 +248,7 @@ def run_round(
         n_discovered = discovered.count()
         metrics["discovered"] = n_discovered
         new_frontier = new_frontier.unionByName(discovered.select(*fr.columns))
+        delta = delta.unionByName(discovered.select(*fr.columns))
         if cfg.use_bloom:
             if catalog.exists("seen_bloom"):
                 merged = seen.merge_bloom(
@@ -213,7 +258,14 @@ def run_round(
                 merged = seen.build_bloom(new_frontier.select(*KEY), cfg.bloom_buckets)
             catalog.commit(merged, "seen_bloom", round_id=round_id)
 
-    catalog.commit(new_frontier, FRONTIER_TABLE, round_id=round_id, metrics=metrics)
+    # delta commit = only the rows this round touched (bounded write
+    # amplification); periodic base commit bounds read amplification
+    if cfg.frontier_storage == "delta" and round_id % cfg.compact_every != 0:
+        metrics["kind"] = "delta"
+        catalog.commit(delta, FRONTIER_TABLE, round_id=round_id, metrics=metrics)
+    else:
+        metrics["kind"] = "base"
+        catalog.commit(new_frontier, FRONTIER_TABLE, round_id=round_id, metrics=metrics)
     sel.unpersist()
     extracted.unpersist()
     return metrics

@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from .. import frontier as FR
 from ..catalog import ParquetSnapshotCatalog
-from ..crawl import FRONTIER_TABLE, CrawlConfig, run_round
+from ..crawl import FRONTIER_TABLE, CrawlConfig, load_frontier, run_round
 
 SEEDS_STREAM_SCHEMA = T.StructType(
     [
@@ -54,7 +54,7 @@ def stream_seed_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         existing = (
-            catalog.load(spark, FRONTIER_TABLE) if catalog.exists(FRONTIER_TABLE) else None
+            load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
         )
         new_rows = FR.ingest_seeds(batch_df, existing, round_id=state["round"])
         full = existing.unionByName(new_rows) if existing is not None else new_rows
@@ -62,7 +62,7 @@ def stream_seed_ingest(
             full,
             FRONTIER_TABLE,
             round_id=state["round"],
-            metrics={"event": "stream_ingest", "batch_id": batch_id},
+            metrics={"event": "stream_ingest", "batch_id": batch_id, "kind": "base"},
         )
         state["round"] += 1
         run_round(spark, catalog, pages, state["round"], cfg, rules)
