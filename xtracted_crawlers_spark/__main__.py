@@ -1,0 +1,94 @@
+"""CLI entry point — the spark-submit surface (north_rule: "runs via
+spark-submit --py-files on multi-executor clusters").
+
+Local mode:
+    python3 -m xtracted_crawlers_spark gen-corpus --out /tmp/corpus --pages 10000
+    python3 -m xtracted_crawlers_spark crawl --pages /tmp/corpus/pages.parquet \
+        --seeds /tmp/corpus/seeds.parquet --robots /tmp/corpus/robots.parquet \
+        --warehouse /tmp/wh --rounds 10 --global-budget 5000
+
+Cluster mode (the same module, zipped):
+    cd /path/to/repo && zip -r /tmp/xcs.zip xtracted_crawlers_spark
+    spark-submit --py-files /tmp/xcs.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        run_crawl_job.py ...   # or python -m via client mode
+
+Re-running `crawl` with the same --warehouse resumes from the last
+committed snapshot (crash-safe by the catalog's atomic manifest publish).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="xtracted_crawlers_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus", help="write deterministic pages/seeds/robots parquet")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=10_000)
+    g.add_argument("--seeds", type=int, default=2_000)
+    g.add_argument("--hosts", type=int, default=100)
+    g.add_argument("--zipf", type=float, default=2.0)
+    g.add_argument("--seed", type=int, default=42)
+
+    c = sub.add_parser("crawl", help="run (or resume) a crawl")
+    c.add_argument("--pages", required=True, help="pages parquet path")
+    c.add_argument("--seeds", help="seeds parquet path (omit when resuming)")
+    c.add_argument("--robots", help="robots parquet path")
+    c.add_argument("--warehouse", required=True, help="snapshot catalog root")
+    c.add_argument("--rounds", type=int, default=100)
+    c.add_argument("--global-budget", type=int, default=None)
+    c.add_argument("--default-budget", type=int, default=None)
+    c.add_argument("--round-seconds", type=float, default=60.0)
+    c.add_argument("--expand-variants", action="store_true")
+    c.add_argument("--use-bloom", action="store_true")
+    c.add_argument("--storage", choices=["delta", "full"], default="delta")
+    c.add_argument("--master", default=None)
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"xcs-{args.cmd}", master=getattr(args, "master", None))
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "gen-corpus":
+        from .fixtures import write_corpus
+
+        paths = write_corpus(
+            spark, args.out, args.pages, args.seeds,
+            n_hosts=args.hosts, zipf=args.zipf, corpus_seed=args.seed,
+        )
+        print(json.dumps(paths))
+        return 0
+
+    from .catalog import ParquetSnapshotCatalog
+    from .crawl import CrawlConfig, run_crawl
+    from .sources import read_pages
+
+    catalog = ParquetSnapshotCatalog(args.warehouse)
+    pages = read_pages(spark, args.pages)
+    seeds = spark.read.parquet(args.seeds) if args.seeds else None
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    cfg = CrawlConfig(
+        round_seconds=args.round_seconds,
+        default_budget=args.default_budget,
+        global_budget=args.global_budget,
+        max_rounds=args.rounds,
+        expand_variants=args.expand_variants,
+        use_bloom=args.use_bloom,
+        frontier_storage=args.storage,
+    )
+    metrics = run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg)
+    for m in metrics:
+        print(json.dumps(m))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
