@@ -483,6 +483,19 @@ group by l_returnflag, l_linestatus
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xtracted_crawlers_spark.operators import sessions
+
+    return sessions.sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+from xtracted_crawlers_spark.operators.sessions import (  # noqa: E402
+    SQL_SESSIONIZE_TEMPLATE,
+)
+
+SQL_EVENTS_SESSIONIZE = SQL_SESSIONIZE_TEMPLATE.format(gap=1800)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -606,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational anchors
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         # rows-only (no SQL oracle)
         "sim_ann_lsh": q_sim_ann_lsh,
         "mm_image_features": q_mm_image_features,
@@ -635,4 +649,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_near_dup": SQL_SIM_NEAR_DUP,
         "tpch_q1": SQL_TPCH_Q1,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
     }
