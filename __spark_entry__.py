@@ -483,6 +483,99 @@ group by l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join anchor: customer ⋈ orders ⋈ lineitem revenue by order."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(100) - (F.col("l_discount") * 100).cast("decimal(18,0)")))
+                ).cast("double") / 100.0,
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q3ISH = """
+select l_orderkey,
+       round(cast(sum(cast(l_extendedprice as decimal(18,2))
+                      * (100 - cast(l_discount * 100 as decimal(18,0)))) as double) / 100.0, 2) as revenue,
+       count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+group by l_orderkey
+"""
+
+
+def q_rollup_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over canonicalized URLs: per (host, url_type) with
+    subtotals — the per-round metrics rollup shape."""
+    u = q_crawl_canonicalize(spark, sf_dir)
+    return (
+        u.rollup("host", "url_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("host", F.lit("ALL")).alias("host"),
+            F.coalesce("url_type", F.lit("ALL")).alias("url_type"),
+            "n",
+        )
+    )
+
+
+SQL_ROLLUP_BY_HOST = f"""
+with u as (select {sql_url_from_key('o_orderkey')} as url from orders),
+c as (select lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+             'amazon_product' as url_type
+      from u where regexp_extract(url, {ASIN_RE_SQL}, 1) <> '')
+select coalesce(host, 'ALL') as host, coalesce(url_type, 'ALL') as url_type, count(*) as n
+from c group by rollup(host, url_type)
+"""
+
+
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: event users that are also customer keys (intersect)
+    vs event-only users (except)."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("k"))
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long").alias("k"))
+    both = ev.intersect(cu).withColumn("which", F.lit("both"))
+    only = ev.distinct().exceptAll(cu.distinct()).withColumn("which", F.lit("events_only"))
+    return both.unionByName(only)
+
+
+SQL_SET_OPS_USERS = """
+select k, 'both' as which from (select user_id as k from events intersect select c_custkey from customer)
+union all
+select k, 'events_only' as which from (select distinct user_id as k from events except select distinct c_custkey from customer)
+"""
+
+
+def q_distinct_urls_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-identity counts per host (the seen-set cardinality
+    metric; the approx_count_distinct variant is pytest-checked within
+    tolerance, since HLL sketches differ across engines)."""
+    u = q_crawl_canonicalize(spark, sf_dir)
+    return u.groupBy("host").agg(F.countDistinct("url_id").alias("n_distinct"))
+
+
+SQL_DISTINCT_URLS_PER_HOST = f"""
+with u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url from orders),
+c as (select lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+             regexp_extract(url, {ASIN_RE_SQL}, 1) as url_id
+      from u where regexp_extract(url, {ASIN_RE_SQL}, 1) <> '')
+select host, count(distinct url_id) as n_distinct from c group by 1
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xtracted_crawlers_spark.operators import sessions
 
@@ -618,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         # relational anchors
         "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "rollup_by_host": q_rollup_by_host,
+        "set_ops_users": q_set_ops_users,
+        "distinct_urls_per_host": q_distinct_urls_per_host,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         # rows-only (no SQL oracle)
@@ -648,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
         "sim_near_dup": SQL_SIM_NEAR_DUP,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3ish": SQL_TPCH_Q3ISH,
+        "rollup_by_host": SQL_ROLLUP_BY_HOST,
+        "set_ops_users": SQL_SET_OPS_USERS,
+        "distinct_urls_per_host": SQL_DISTINCT_URLS_PER_HOST,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
     }
