@@ -131,7 +131,21 @@ def run_level(cpus: int, n_pages: int) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     ceil = machine_ceiling()
-    levels = {c: run_level(c, n_pages) for c in (2, 8, 32)}
+    # interleave several full passes and keep the best throughput per
+    # level: the host's deliverable CPU fluctuates (noisy neighbors), and
+    # interleaving prevents a slow window from biasing one level only
+    passes = int(os.environ.get("SCALE_PASSES", "2"))
+    levels: dict[int, dict] = {}
+    for _p in range(passes):
+        for c in (2, 8, 32):
+            r = run_level(c, n_pages)
+            best = levels.setdefault(c, r)
+            for rate, sec in (
+                ("extract_urls_per_sec", "extract_sec"),
+                ("minhash_docs_per_sec", "minhash_sec"),
+            ):
+                if r[rate] > best[rate]:
+                    best[rate], best[sec] = r[rate], r[sec]
 
     def eff(a: int, b: int, key: str) -> float:
         return round((levels[b][key] / levels[a][key]) / (b / a), 3)
