@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_PER_SF = 300_000  # sf0.1 -> 30k pages (~60 MB html)
+PAGES_PER_SF = 3_000_000  # sf0.1 -> 300k pages (~600 MB html); long enough
+# that the extraction measurement is throughput, not job-startup overhead
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/xcs_bench_cache")
 
 HEADLINE = [
