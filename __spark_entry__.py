@@ -619,6 +619,11 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, dim=64)
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, dim=64)
+
+
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xtracted_crawlers_spark.operators import multimodal
 
@@ -719,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # rows-only (no SQL oracle)
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "mm_image_features": q_mm_image_features,
         "mm_frame_sample": q_mm_frame_sample,
     }

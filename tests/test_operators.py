@@ -75,3 +75,28 @@ def test_minhash_plan_has_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # signature build must stay map-only
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.ann_ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.3
+
+
+def test_metrics_history(spark, sf_dir, tmp_path):
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, metrics_history, run_crawl
+
+    paths = fixtures.write_corpus(spark, str(tmp_path / "c"), 30, 12, n_hosts=3)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    run_crawl(spark, cat, spark.read.parquet(paths["pages"]),
+              spark.read.parquet(paths["seeds"]), cfg=CrawlConfig(max_rounds=3))
+    hist = metrics_history(cat)
+    assert hist[0]["event"] == "bootstrap"
+    assert all("n_files" in h and h["n_files"] > 0 for h in hist)
+    assert any(h.get("completed", 0) > 0 for h in hist)

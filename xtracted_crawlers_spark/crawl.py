@@ -271,6 +271,16 @@ def run_round(
     return metrics
 
 
+def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
+    """Per-round metrics across all committed snapshots — the per-round
+    fetch/parse metrics + lineage record the north_rule requires, straight
+    from the manifests."""
+    return [
+        {"snapshot_id": m.snapshot_id, "round_id": m.round_id, "n_files": len(m.files), **m.metrics}
+        for m in catalog.history(FRONTIER_TABLE)
+    ]
+
+
 def run_crawl(
     spark: SparkSession,
     catalog: ParquetSnapshotCatalog,

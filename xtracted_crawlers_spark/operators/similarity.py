@@ -113,6 +113,87 @@ def srp_bucket(vec_col, n_planes: int, dim: int, table: int = 0):
     return out
 
 
+def _centroid(c: int, dim: int) -> list:
+    """Deterministic pseudo-random unit-ish centroid from md5 — the IVF
+    codebook without a training pass (fine for a coarse partitioner;
+    production would k-means a sample and broadcast the codebook)."""
+    return [_hyperplane(c, d, tag="ivf") for d in range(dim)]
+
+
+def ivf_assign(vec_col, n_clusters: int, dim: int):
+    """Cluster id column: argmax dot-product against the fixed codebook."""
+    v = F.col(vec_col).cast("array<double>")
+    best_id = F.lit(0)
+    best_dot = None
+    for c in range(n_clusters):
+        cen = F.array(*[F.lit(x) for x in _centroid(c, dim)])
+        dot = F.aggregate(F.zip_with(v, cen, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        if best_dot is None:
+            best_dot = dot
+        else:
+            best_id = F.when(dot > best_dot, F.lit(c)).otherwise(best_id)
+            best_dot = F.when(dot > best_dot, dot).otherwise(best_dot)
+    return best_id
+
+
+def ann_ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize items into clusters, probe each
+    query's top-n_probe clusters, exact cosine re-rank inside. The
+    candidate join is an equi join on cluster id — at scale the items
+    side is bucketed/partitioned by cluster so probing touches only
+    matching partitions."""
+    nb = items.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        ivf_assign(vec_col, n_clusters, dim).alias("cluster"),
+    )
+    # per-query probe list: rank clusters by dot product, keep n_probe
+    qv = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(qv, F.array(*[F.lit(x) for x in _centroid(c, dim)]), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("dot"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(n_clusters)
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(dots)), 1, n_probe)
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("cluster"),
+    )
+    cand = qb.join(nb, "cluster").filter(F.col("q_id") != F.col("n_id"))
+    qvv, nvv = F.col("q_vec").cast("array<double>"), F.col("n_vec").cast("array<double>")
+    qn = F.sqrt(F.aggregate(F.zip_with(qvv, qvv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    nn = F.sqrt(F.aggregate(F.zip_with(nvv, nvv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    scored = cand.withColumn("cosine", F.round(_cosine(qvv, nvv, qn, nn), 4)).select(
+        F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "cosine"
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ann_lsh_topk(
     items: DataFrame,
     queries: DataFrame,
