@@ -493,11 +493,17 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
         .agg(
-            F.round(
+            # exact decimal aggregate, cast to double WITHOUT rounding:
+            # Spark's round() on a double uses the shortest-decimal string
+            # (HALF_UP on "x.235") while DuckDB rounds the binary value —
+            # boundary sums drift a cent. The unrounded quotient of
+            # identical doubles is bit-identical in both engines.
+            (
                 F.sum(
-                    (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(100) - (F.col("l_discount") * 100).cast("decimal(18,0)")))
-                ).cast("double") / 100.0,
-                2,
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(100) - (F.col("l_discount") * 100).cast("decimal(18,0)"))
+                ).cast("double")
+                / 100.0
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -506,8 +512,8 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q3ISH = """
 select l_orderkey,
-       round(cast(sum(cast(l_extendedprice as decimal(18,2))
-                      * (100 - cast(l_discount * 100 as decimal(18,0)))) as double) / 100.0, 2) as revenue,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (100 - cast(l_discount * 100 as decimal(18,0)))) as double) / 100.0 as revenue,
        count(*) as n_items
 from lineitem
 join orders on l_orderkey = o_orderkey

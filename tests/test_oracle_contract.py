@@ -28,10 +28,11 @@ def ddb(sf_dir):
 
 
 def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+    # EXACT equality, floats included: both engines compute rounded
+    # doubles from identical inputs, so even the bits must match (this
+    # mirrors the driver's value-hash, which tolerates no fuzz)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
 
 
