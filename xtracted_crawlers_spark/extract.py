@@ -29,7 +29,10 @@ Hot path = ONE Arrow-batched pandas UDF (``extract_udf``) returning flat
 strings (payload_json / text / error); the typed payload struct is
 recovered JVM-side with ``from_json`` so Arrow never has to move nested
 struct-of-array-of-map batches. The pure-Python functions below double as
-the golden-oracle mirror used by tests.
+the golden-oracle mirror used by tests. (Batch-transfer UDF execution over
+columnar data — vs row-at-a-time Python — follows the design argument in
+"Accelerating Python UDFs in Vectorized Query Execution", CIDR'22; see
+PAPERS.md.)
 """
 
 from __future__ import annotations

@@ -21,6 +21,12 @@ bloom/cuckoo structure over canonicalized+hashed keys. Design:
 
 Persistence: the bucket table (bucket:int, bits:binary, m:long, k:int)
 commits through the snapshot catalog like any other state table.
+
+Background (PAPERS.md corpus): approximate-membership structures for
+streaming dedup (e.g. "A Learned Cuckoo Filter for Approximate Membership
+Queries over Variable-sized Sliding Windows on Data Streams", SIGMOD'23)
+motivate the filter-prunes/exact-authority split used here — the filter
+only spares join work, it never decides membership alone.
 """
 
 from __future__ import annotations
