@@ -188,3 +188,44 @@ def test_variant_expansion_discovers_new_urls(spark, corpus, tmp_path):
         assert r["n"] == r["d"] == r["mx"]
     # bloom state committed for resume
     assert catalog.exists("seen_bloom")
+
+
+def test_rerun_job_resets_and_recrawls(spark, corpus, tmp_path):
+    """Reference §3.1: rerunning a job resets its rows and re-crawls them;
+    other jobs' state is untouched (pg_crawl_job_worker reset-on-rerun)."""
+    from pyspark.sql import functions as F
+
+    from xtracted_crawlers_spark.crawl import rerun_job
+
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    run_crawl(spark, catalog, pages, seeds, cfg=CrawlConfig(max_rounds=10))
+    before = _final_state(spark, catalog)
+    target = next(k for k, r in before.items() if r["status"] == "complete")
+    user_id, job_id, _ = target
+
+    rerun_job(spark, catalog, user_id, job_id)
+    mid = _final_state(spark, catalog)
+    assert mid[target]["status"] == "pending"
+    assert mid[target]["payload_json"] is None and mid[target]["retries"] == 0
+    # rows of other (user, job) pairs untouched
+    for k, r in mid.items():
+        if (k[0], k[1]) != (user_id, job_id):
+            assert r["status"] == before[k]["status"]
+            assert r["payload_json"] == before[k]["payload_json"]
+
+    run_crawl(spark, catalog, pages, cfg=CrawlConfig(max_rounds=10))
+    after = _final_state(spark, catalog)
+    # re-crawled to the same terminal state, byte-identical payloads
+    for k, r in after.items():
+        assert r["status"] == before[k]["status"], k
+        assert r["payload_json"] == before[k]["payload_json"], k
+        assert r["job_urls_seq"] == before[k]["job_urls_seq"], k  # seq survives reset
+    # and the rerun-job rows were freshly attempted and re-extracted
+    # (round numbering restarts after a rerun — a fresh job run)
+    rerun_rows = [r for k, r in after.items() if (k[0], k[1]) == (user_id, job_id)
+                  and r["status"] == "complete"]
+    assert rerun_rows and all(r["payload_json"] is not None for r in rerun_rows)
+    hist_events = [m.metrics.get("event") for m in catalog.history(FRONTIER_TABLE)]
+    assert "rerun_job" in hist_events

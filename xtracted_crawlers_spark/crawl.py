@@ -271,6 +271,25 @@ def run_round(
     return metrics
 
 
+def rerun_job(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    user_id: str,
+    job_id: int,
+) -> int:
+    """The reference's run_job-on-existing-job flow (SURVEY.md §3.1 /
+    B1): reset the job's rows (data=NULL, retries=0, status=pending,
+    created_at=now) and commit — the fan-out IS the next round's
+    selection, so the caller just continues with run_crawl/run_round."""
+    fr = load_frontier(spark, catalog)
+    reset = FR.reset_job(fr, user_id, job_id)
+    return catalog.commit(
+        reset,
+        FRONTIER_TABLE,
+        metrics={"event": "rerun_job", "user_id": user_id, "job_id": job_id, "kind": "base"},
+    )
+
+
 def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
     """Per-round metrics across all committed snapshots — the per-round
     fetch/parse metrics + lineage record the north_rule requires, straight
