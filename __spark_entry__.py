@@ -631,6 +631,9 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract projection drops the float array (`feat`) — the driver's
+    canonicalizer can't hash a Python list — and keeps `feat_fp`, the hex
+    fingerprint the floats decode from; the library API keeps the array."""
     from xtracted_crawlers_spark.operators import multimodal
 
     d = _t(spark, sf_dir, "documents")
@@ -643,7 +646,24 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("bytes"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
-    return multimodal.image_features(media)
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "channels", "digest", "feat_fp"
+    )
+
+
+# the media bytes are encode(text,'utf-8') and the corpus is ASCII, so
+# DuckDB's VARCHAR md5/substr/ascii reproduce the byte-level stub exactly
+SQL_MM_IMAGE_FEATURES = """
+select doc_id as media_id,
+       cast(case when length(text) = 0 then 16
+                 else 16 + ascii(substr(text, 1, 1)) % 240 end as int) as width,
+       cast(case when length(text) = 0 then 16
+                 else 16 + ascii(substr(text, length(text), 1)) % 240 end as int) as height,
+       cast(3 as int) as channels,
+       md5(text) as digest,
+       substr(md5(text || '#feat'), 1, 16) as feat_fp
+from documents where doc_id % 3 = 0
+"""
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +677,16 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
     return multimodal.frame_sample(media, every_n_bytes=64, max_frames=4)
+
+
+SQL_MM_FRAME_SAMPLE = """
+with v as (select doc_id as media_id, text from documents where doc_id % 3 = 2),
+f as (select media_id, text, least(4, greatest(1, length(text) // 64)) as n_frames from v),
+e as (select media_id, text, unnest(generate_series(0, n_frames - 1)) as frame_idx from f)
+select media_id, cast(frame_idx as int) as frame_idx,
+       md5(substr(text, cast(frame_idx * 64 + 1 as int), 64)) as frame_digest
+from e
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -763,4 +793,6 @@ def oracle_sql() -> dict[str, str]:
         "distinct_urls_per_host": SQL_DISTINCT_URLS_PER_HOST,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "mm_image_features": SQL_MM_IMAGE_FEATURES,
+        "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     }

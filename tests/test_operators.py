@@ -18,7 +18,11 @@ def test_media_features_deterministic(spark):
     for r in rows1:
         assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
         assert len(r["feat"]) == 8
-        assert len(r["sha1"]) == 40
+        assert len(r["digest"]) == 32
+        # the float array decodes from its hex fingerprint
+        assert len(r["feat_fp"]) == 16
+        decoded = [int(r["feat_fp"][2 * i : 2 * i + 2], 16) / 255.0 for i in range(8)]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(decoded, r["feat"]))
 
 
 def test_frame_sample_shapes(spark):

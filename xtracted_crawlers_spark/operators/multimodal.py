@@ -7,6 +7,12 @@ The container has no image/audio codecs, so the DECODE step is stubbed
 partitioning, UDF signatures) is real and tested, and a real decoder
 drops into ``_decode_image_real`` without touching the plan.
 
+The stub hashes are md5 (not sha1) and the feature fingerprint is a hex
+substring of a second md5, so the ENTIRE operator output — dims, digest,
+feature fingerprint, frame signatures — is reproducible in ANSI SQL
+(DuckDB md5 over the same UTF-8 bytes) and the driver value-hash-checks
+it instead of the weaker rows-only check.
+
 Scale notes: media bytes dominate row size, so the stage uses
 mapInPandas (streaming batches, no pivot through a single pandas UDF
 row), repartitions by a size-aware key, and never collects bytes to the
@@ -32,10 +38,11 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "media_id long, width int, height int, channels int, sha1 string, feat array<float>"
+    "media_id long, width int, height int, channels int, digest string, "
+    "feat_fp string, feat array<float>"
 )
 
-FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha1 string"
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_digest string"
 
 
 def decode_available() -> bool:
@@ -66,7 +73,13 @@ def _decode_image_stub(b: bytes) -> tuple[int, int, int]:
 def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Decode + feature-extract stage over image rows: mapInPandas so each
     Arrow batch streams through without building a row-sized pandas cell
-    copy per column reference."""
+    copy per column reference.
+
+    Output per image: (width, height, channels) from the decoder,
+    ``digest`` = md5 of the bytes, ``feat`` = feat_dim floats in [0, 1)
+    derived from md5(bytes + '#feat'), and ``feat_fp`` = the 2*feat_dim-hex
+    fingerprint those floats decode from (hashable contract form of the
+    float array)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -79,13 +92,14 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     w, h, c = _decode_image_real(b)  # pragma: no cover
                 else:
                     w, h, c = _decode_image_stub(b)
-                sha = hashlib.sha1(b).hexdigest()
-                # fake embedding: first feat_dim digest bytes scaled to [0,1)
-                dig = hashlib.sha1(b + b"#feat").digest()
-                feat = [dig[i] / 255.0 for i in range(feat_dim)]
-                rows.append((int(mid), w, h, c, sha, feat))
+                digest = hashlib.md5(b).hexdigest()
+                # fake embedding: hex-pair bytes of a second digest, scaled
+                fhex = hashlib.md5(b + b"#feat").hexdigest()[: 2 * feat_dim]
+                feat = [int(fhex[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feat_dim)]
+                rows.append((int(mid), w, h, c, digest, fhex, feat))
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "channels", "sha1", "feat"]
+                rows,
+                columns=["media_id", "width", "height", "channels", "digest", "feat_fp", "feat"],
             )
 
     return media.filter(F.col("kind") == "image").select("media_id", "bytes").mapInPandas(
@@ -94,8 +108,9 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
-    """Video frame-sampling stub: one 'frame' signature per byte window —
-    the real variant swaps the signature for a decoded keyframe."""
+    """Video frame-sampling stub: one 'frame' signature (md5 of the byte
+    window) per window — the real variant swaps the signature for a
+    decoded keyframe."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -107,8 +122,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 
                 n_frames = min(max_frames, max(1, len(b) // every_n_bytes))
                 for k in range(n_frames):
                     chunk = b[k * every_n_bytes : (k + 1) * every_n_bytes]
-                    rows.append((int(mid), k, hashlib.sha1(chunk).hexdigest()))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha1"])
+                    rows.append((int(mid), k, hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"])
 
     return media.filter(F.col("kind") == "video").select("media_id", "bytes").mapInPandas(
         run, FRAME_SAMPLE_SCHEMA

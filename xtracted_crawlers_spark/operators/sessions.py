@@ -57,8 +57,10 @@ with flagged as (
   from events
 ), numbered as (
   select user_id, ts,
-         sum(_new) over (partition by user_id order by ts, event_id
-                         rows between unbounded preceding and current row) as session_id
+         -- cast: DuckDB types sum(int) as HUGEINT (→ float64 via pandas);
+         -- Spark emits bigint — the driver's value-hash is dtype-exact
+         cast(sum(_new) over (partition by user_id order by ts, event_id
+                              rows between unbounded preceding and current row) as bigint) as session_id
   from flagged
 )
 select user_id, session_id, count(*) as n_events,
