@@ -8,9 +8,11 @@ derived deterministically from TPC-H keys (operators/urlgen.py) — both
 engines synthesize identical URLs via md5, so canonicalization, dedup,
 scheduling, and fetch-join semantics are oracle-checked end-to-end.
 
-Non-SQL-expressible ops (LSH ANN with float hyperplanes, multimodal
-decode stubs, the full snapshot crawl loop) have no oracle entry — the
-driver records the weaker rows-only check for those.
+Every query has a DuckDB oracle: even the LSH/IVF ANN paths (the
+deterministic hyperplane/centroid doubles are embedded as SQL literals;
+repr() roundtrips them exactly) and the multimodal stubs (md5 arithmetic
+over ASCII bytes). Only the full snapshot crawl loop itself is checked by
+pytest parity instead, via the pure-Python simulator.
 """
 
 from __future__ import annotations
@@ -616,18 +618,117 @@ from events group by 1
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops (rows-only check)
+# ANN: the hyperplanes/centroids are deterministic md5-derived doubles, so
+# the DuckDB oracle embeds the SAME literals (repr roundtrips exactly) and
+# reproduces bucketing + re-rank value-for-value. Summation parity:
+# Spark F.aggregate(zip_with(...)) ≡ DuckDB list_dot_product on DOUBLE[]
+# (left-to-right fold, proven bit-exact by sim_cosine_topk).
 # ---------------------------------------------------------------------------
+
+_ANN_DIM = 64
+_LSH_PLANES = 6
+_LSH_TABLES = 3
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, dim=64)
+    return similarity.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, dim=_ANN_DIM,
+    )
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, dim=64)
+    return similarity.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=2, dim=_ANN_DIM
+    )
+
+
+def _dbl_arr(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in vals) + "]::double[]"
+
+
+def _sql_cosine(av: str, bv: str) -> str:
+    return (
+        f"round(list_dot_product({av}, {bv}) / (sqrt(list_dot_product({av}, {av}))"
+        f" * sqrt(list_dot_product({bv}, {bv}))), 4)"
+    )
+
+
+def _sql_ann_lsh() -> str:
+    from xtracted_crawlers_spark.operators.similarity import _hyperplane
+
+    def bucket(tbl: int, col: str) -> str:
+        terms = []
+        for p in range(_LSH_PLANES):
+            plane = _dbl_arr([_hyperplane(p + tbl * 1000, d) for d in range(_ANN_DIM)])
+            terms.append(
+                f"(case when list_dot_product({col}, {plane}) >= 0 then {2**p} else 0 end)"
+            )
+        return " + ".join(terms)
+
+    qb = "\nunion all\n".join(
+        f"select q_id, {t} as tbl, {bucket(t, 'qv')} as bucket from q"
+        for t in range(_LSH_TABLES)
+    )
+    nb = "\nunion all\n".join(
+        f"select n_id, {t} as tbl, {bucket(t, 'nv')} as bucket from n"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+with q as (select vec_id as q_id, cast(embedding as double[]) as qv from embeddings where vec_id < 20),
+n as (select vec_id as n_id, cast(embedding as double[]) as nv from embeddings),
+qb as ({qb}),
+nb as ({nb}),
+cand as (select distinct q_id, n_id from qb join nb using (tbl, bucket) where q_id <> n_id),
+s as (select q_id, n_id, {_sql_cosine('qv', 'nv')} as cosine
+      from cand join q using (q_id) join n using (n_id)),
+r as (select q_id as query_id, n_id as neighbor_id, cosine,
+        row_number() over (partition by q_id order by cosine desc, n_id asc) as rank
+      from s)
+select query_id, neighbor_id, cast(rank as bigint) as rank, cosine from r where rank <= 5
+"""
+
+
+def _sql_ann_ivf(n_clusters: int = 8, n_probe: int = 2) -> str:
+    from xtracted_crawlers_spark.operators.similarity import default_codebook
+
+    code = default_codebook(n_clusters, _ANN_DIM)
+    cent = ", ".join(f"({c}, {_dbl_arr(code[c])})" for c in range(n_clusters))
+    # tie-break parity with the Spark plan: assignment is first-wins argmax
+    # (lowest c), probes come from reverse(array_sort(struct(dot, c)))
+    # (ties -> highest c)
+    return f"""
+with q as (select vec_id as q_id, cast(embedding as double[]) as qv from embeddings where vec_id < 20),
+n as (select vec_id as n_id, cast(embedding as double[]) as nv from embeddings),
+cent(c, v) as (values {cent}),
+nassign as (select n_id, c as cluster from (
+    select n_id, c, row_number() over (
+        partition by n_id order by list_dot_product(nv, v) desc, c asc) as rn
+    from n cross join cent) where rn = 1),
+qprobe as (select q_id, c as cluster from (
+    select q_id, c, row_number() over (
+        partition by q_id order by list_dot_product(qv, v) desc, c desc) as rn
+    from q cross join cent) where rn <= {n_probe}),
+cand as (select distinct q_id, n_id
+         from qprobe join nassign using (cluster) where q_id <> n_id),
+s as (select q_id, n_id, {_sql_cosine('qv', 'nv')} as cosine
+      from cand join q using (q_id) join n using (n_id)),
+r as (select q_id as query_id, n_id as neighbor_id, cosine,
+        row_number() over (partition by q_id order by cosine desc, n_id asc) as rank
+      from s)
+select query_id, neighbor_id, cast(rank as bigint) as rank, cosine from r where rank <= 5
+"""
+
+
+SQL_SIM_ANN_LSH = _sql_ann_lsh()
+SQL_SIM_ANN_IVF = _sql_ann_ivf()
+
+
+# ---------------------------------------------------------------------------
+# multimodal (decode stubbed behind a codec gate; outputs still oracle-exact)
+# ---------------------------------------------------------------------------
 
 
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,7 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_urls_per_host": q_distinct_urls_per_host,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        # rows-only (no SQL oracle)
+        # ANN + multimodal (oracle SQL embeds the deterministic
+        # hyperplane/centroid literals / md5-stub arithmetic)
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "mm_image_features": q_mm_image_features,
@@ -793,6 +895,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_urls_per_host": SQL_DISTINCT_URLS_PER_HOST,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "sim_ann_lsh": SQL_SIM_ANN_LSH,
+        "sim_ann_ivf": SQL_SIM_ANN_IVF,
         "mm_image_features": SQL_MM_IMAGE_FEATURES,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     }

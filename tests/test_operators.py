@@ -44,14 +44,16 @@ def test_decode_stub_gated():
 
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Shippable-bar recall: ≥0.8 at tuned tables/planes (measured 0.88
+    at 4 planes × 12 tables on this corpus)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, q, k=5)
-    approx = similarity.ann_lsh_topk(emb, q, k=5, n_planes=4, n_tables=6, dim=64)
+    approx = similarity.ann_lsh_topk(emb, q, k=5, n_planes=4, n_tables=12, dim=64)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
     # approx scores, where present, must equal exact scores
     es = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
     for r in approx.collect():
@@ -82,13 +84,31 @@ def test_minhash_plan_has_no_shuffle(spark, sf_dir):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """The production IVF path: spherical-kmeans codebook (trained on a
+    deterministic sample), probe 3 of 8 clusters, recall ≥0.8 (measured
+    0.90). The untrained md5 codebook stays only as the oracle baseline."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
+    code = similarity.kmeans_codebook(emb, n_clusters=8, dim=64, n_iters=4)
     exact = similarity.cosine_topk(emb, q, k=5)
-    approx = similarity.ann_ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3, dim=64)
+    approx = similarity.ann_ivf_topk(emb, q, k=5, n_probe=3, dim=64, codebook=code)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    assert len(e & a) / len(e) >= 0.3
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"kmeans-IVF recall too low: {recall}"
+
+
+def test_kmeans_codebook_deterministic_and_balanced(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = similarity.kmeans_codebook(emb, n_clusters=4, dim=64, n_iters=2)
+    c2 = similarity.kmeans_codebook(emb, n_clusters=4, dim=64, n_iters=2)
+    assert c1 == c2  # deterministic init + iteration order
+    assigned = emb.select(
+        similarity.ivf_assign(F.col("embedding").cast("array<double>"), c1).alias("c")
+    )
+    counts = {r["c"]: r["n"] for r in assigned.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 4  # no empty cluster on this corpus
+    assert max(counts.values()) <= 0.9 * sum(counts.values())  # not degenerate
 
 
 def test_metrics_history(spark, sf_dir, tmp_path):

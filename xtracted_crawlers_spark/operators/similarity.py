@@ -18,6 +18,7 @@ codegen'd JVM expressions.
 from __future__ import annotations
 
 import hashlib
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -114,19 +115,69 @@ def srp_bucket(vec_col, n_planes: int, dim: int, table: int = 0):
 
 
 def _centroid(c: int, dim: int) -> list:
-    """Deterministic pseudo-random unit-ish centroid from md5 — the IVF
-    codebook without a training pass (fine for a coarse partitioner;
-    production would k-means a sample and broadcast the codebook)."""
+    """Deterministic pseudo-random unit-ish centroid from md5 — the
+    untrained default IVF codebook. Exactly reproducible in the DuckDB
+    oracle (the SQL embeds the same literals); ``kmeans_codebook`` is the
+    trained, higher-recall alternative."""
     return [_hyperplane(c, d, tag="ivf") for d in range(dim)]
 
 
-def ivf_assign(vec_col, n_clusters: int, dim: int):
-    """Cluster id column: argmax dot-product against the fixed codebook."""
-    v = F.col(vec_col).cast("array<double>")
+def default_codebook(n_clusters: int, dim: int) -> list[list[float]]:
+    return [_centroid(c, dim) for c in range(n_clusters)]
+
+
+def _unit(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def kmeans_codebook(
+    items: DataFrame,
+    n_clusters: int = 8,
+    dim: int = 64,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+) -> list[list[float]]:
+    """Spherical k-means trained on a deterministic sample; returns the
+    codebook as a plain list (k × dim floats) the caller broadcasts as
+    column literals — the standard IVF training pattern. Each Lloyd
+    iteration is ONE aggregate shuffle over the sample (argmax assign is a
+    per-row codegen'd expression, the mean is a groupBy of dim avg()s);
+    only k·dim floats ever reach the driver. Deterministic: sample = top
+    sample_n by id (TakeOrdered, not a full sort), init = first k rows."""
+    base = (
+        items.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .cache()
+    )
+    code = [_unit(r["_v"]) for r in base.limit(n_clusters).collect()]
+    for _ in range(n_iters):
+        assigned = base.withColumn("cluster", ivf_assign("_v", code))
+        rows = assigned.groupBy("cluster").agg(
+            *[F.avg(F.col("_v")[d]).alias(f"d{d}") for d in range(dim)]
+        ).collect()
+        new = list(code)
+        for r in rows:
+            new[r["cluster"]] = _unit([r[f"d{d}"] for d in range(dim)])
+        code = new
+    base.unpersist()
+    return code
+
+
+def ivf_assign(vec_col, codebook: list[list[float]]):
+    """Cluster id column: argmax dot-product against the codebook
+    (first-wins on ties — the lowest cluster index). vec_col may be a
+    column name or a Column."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     best_id = F.lit(0)
     best_dot = None
-    for c in range(n_clusters):
-        cen = F.array(*[F.lit(x) for x in _centroid(c, dim)])
+    for c, cen_v in enumerate(codebook):
+        cen = F.array(*[F.lit(x) for x in cen_v])
         dot = F.aggregate(F.zip_with(v, cen, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         if best_dot is None:
             best_dot = dot
@@ -145,16 +196,22 @@ def ann_ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: Optional[list[list[float]]] = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize items into clusters, probe each
     query's top-n_probe clusters, exact cosine re-rank inside. The
     candidate join is an equi join on cluster id — at scale the items
     side is bucketed/partitioned by cluster so probing touches only
-    matching partitions."""
+    matching partitions. codebook=None uses the deterministic md5 default
+    (oracle-reproducible); pass ``kmeans_codebook(...)`` for trained
+    centroids (higher recall, same plan)."""
+    if codebook is None:
+        codebook = default_codebook(n_clusters, dim)
+    n_clusters = len(codebook)
     nb = items.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        ivf_assign(vec_col, n_clusters, dim).alias("cluster"),
+        ivf_assign(vec_col, codebook).alias("cluster"),
     )
     # per-query probe list: rank clusters by dot product, keep n_probe
     qv = F.col(vec_col).cast("array<double>")
@@ -162,7 +219,7 @@ def ann_ivf_topk(
         *[
             F.struct(
                 F.aggregate(
-                    F.zip_with(qv, F.array(*[F.lit(x) for x in _centroid(c, dim)]), lambda x, y: x * y),
+                    F.zip_with(qv, F.array(*[F.lit(x) for x in codebook[c]]), lambda x, y: x * y),
                     F.lit(0.0),
                     lambda a, x: a + x,
                 ).alias("dot"),
