@@ -21,6 +21,8 @@ value byte-for-byte; both engines implement identical RFC-1321 md5.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,11 +70,29 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: Optional[int] = None
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for pairs sharing ≥1 shingle.
-    Output (doc_a < doc_b, jaccard rounded 4dp)."""
-    sh = shingles_df(docs, n).cache()
+    Output (doc_a < doc_b, jaccard rounded 4dp).
+
+    max_df is the hot-shingle guard for scale: a shingle shared by k docs
+    contributes k·(k-1)/2 rows to the self-join, so ONE boilerplate
+    shingle (site header, license blurb) repeated across millions of docs
+    is an O(df²) pair explosion. With max_df set, shingles with document
+    frequency > max_df are dropped from BOTH the intersection and the set
+    sizes (equivalent to stop-shingle removal before comparing — near-dup
+    signal lives in the rare shingles, boilerplate carries none).
+    max_df=None keeps the exact semantics (the oracle baseline)."""
+    sh = shingles_df(docs, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -120,9 +140,19 @@ def minhash_lsh_pairs(
     n_perms: int = N_PERMS,
     band_size: int = BAND_SIZE,
     threshold: float = 0.5,
+    band_cap: Optional[int] = None,
 ) -> DataFrame:
     """Banded LSH candidate pairs with estimated similarity =
-    fraction of matching signature slots. Output (doc_a, doc_b, est_sim)."""
+    fraction of matching signature slots. Output (doc_a, doc_b, est_sim).
+
+    band_cap is the hot-band guard for scale: a band bucket holding k
+    docs emits k·(k-1)/2 candidates, and boilerplate-heavy corpora create
+    a few mega-buckets. With band_cap set, buckets larger than the cap
+    are dropped from candidate generation — a genuinely similar pair
+    still has the other (n_perms/band_size - 1) bands to collide in, so
+    recall degrades gracefully instead of the join exploding.
+    band_cap=None keeps the exact banding semantics (the oracle
+    baseline)."""
     sig = minhash_signatures(docs, n, n_perms).cache()
     n_bands = n_perms // band_size
     bands = sig.select(
@@ -140,6 +170,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
+    if band_cap is not None:
+        keep = (
+            bands.groupBy("band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= band_cap)
+            .select("band_key")
+        )
+        bands = bands.join(keep, "band_key")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band_key")
