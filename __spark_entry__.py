@@ -217,6 +217,83 @@ from orders where o_orderkey % 1000 = 7
 """
 
 
+def q_crawl_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 quota gate (quota.apply_quota): per-user budget cut over a
+    selection in crawl order — budget = user_id % 4 requests, selection =
+    the user's events ordered by seq."""
+    from xtracted_crawlers_spark import quota as QT
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("job_urls_seq")
+    )
+    budgets = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("requests", (F.col("user_id") % 4).cast("long"))
+    )
+    kept = QT.apply_quota(ev, budgets, order_cols=["job_urls_seq"])
+    return kept.groupBy("user_id").agg(
+        F.count("*").alias("n_selected"), F.max("job_urls_seq").alias("last_seq")
+    )
+
+
+SQL_CRAWL_QUOTA = """
+with r as (select user_id, event_id as job_urls_seq,
+                  row_number() over (partition by user_id order by event_id) as rk
+           from events),
+q as (select user_id, user_id % 4 as requests from (select distinct user_id from events))
+select user_id, count(*) as n_selected, max(job_urls_seq) as last_seq
+from r join q using (user_id) where rk <= requests group by 1
+"""
+
+
+def q_crawl_job_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job bookkeeping (quota.job_status): running while any selectable
+    row remains, complete when all terminal; counters + heartbeat round —
+    over a frontier-shaped projection of orders."""
+    from xtracted_crawlers_spark import quota as QT
+
+    o = _t(spark, sf_dir, "orders")
+    f = o.select(
+        (F.col("o_custkey") % 50).alias("user_id"),
+        (F.col("o_orderkey") % 7).alias("job_id"),
+        F.when(F.col("o_orderstatus") == "O", "pending")
+        .when(F.col("o_orderstatus") == "F", "complete")
+        .otherwise("running")
+        .alias("status"),
+        (F.col("o_orderkey") % 4).cast("int").alias("retries"),
+        (F.col("o_orderkey") % 5).cast("int").alias("round"),
+    )
+    # contract projection: never-attempted jobs have a NULL heartbeat —
+    # coalesce to -1 so the driver's canonicalizer can sort/hash the column
+    return QT.job_status(f).withColumn(
+        "last_fetched_round", F.coalesce("last_fetched_round", F.lit(-1))
+    )
+
+
+SQL_CRAWL_JOB_STATUS = """
+with f as (select
+    o_custkey % 50 as user_id,
+    o_orderkey % 7 as job_id,
+    case when o_orderstatus = 'O' then 'pending'
+         when o_orderstatus = 'F' then 'complete'
+         else 'running' end as status,
+    cast(o_orderkey % 4 as int) as retries,
+    cast(o_orderkey % 5 as int) as round
+  from orders)
+select user_id, job_id,
+       case when count(*)
+                 - count(*) filter (status = 'complete')
+                 - count(*) filter (status <> 'complete' and retries >= 3) > 0
+            then 'running' else 'complete' end as job_status,
+       count(*) as n_total,
+       count(*) filter (status = 'complete') as n_complete,
+       count(*) filter (status <> 'complete' and retries >= 3) as n_given_up,
+       coalesce(max(round) filter (status = 'complete' or retries > 0), -1) as last_fetched_round
+from f group by 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -839,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_retry_giveup": q_crawl_retry_giveup,
         "crawl_reset_fanout": q_crawl_reset_fanout,
         "crawl_point_lookup": q_crawl_point_lookup,
+        "crawl_quota": q_crawl_quota,
+        "crawl_job_status": q_crawl_job_status,
         # text analysis
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -879,6 +958,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,
         "crawl_reset_fanout": SQL_CRAWL_RESET_FANOUT,
         "crawl_point_lookup": SQL_CRAWL_POINT_LOOKUP,
+        "crawl_quota": SQL_CRAWL_QUOTA,
+        "crawl_job_status": SQL_CRAWL_JOB_STATUS,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -62,13 +62,20 @@ def test_reset_job(spark):
             [(U1, 100, 0, "https://a.test/dp/B000000001"), (U2, 100, 0, "https://a.test/dp/B000000002")],
         )
     )
-    done = fr.withColumn("status", F.lit("complete")).withColumn("retries", F.lit(2))
+    done = (
+        fr.withColumn("status", F.lit("complete"))
+        .withColumn("retries", F.lit(2))
+        .withColumn("errors", F.array(F.lit("Boom('old failure')")))
+    )
     reset = FR.reset_job(done, U1, 100)
     rows = {r["user_id"]: r for r in reset.collect()}
     assert rows[U1]["status"] == "pending" and rows[U1]["retries"] == 0
     assert rows[U2]["status"] == "complete" and rows[U2]["retries"] == 2
     # seq survives reset (reference reset doesn't touch job_urls_seq)
     assert rows[U1]["job_urls_seq"] == 1
+    # errors survive reset: the reference's run_job reset updates only
+    # data/created_at/retries/status (pg_crawl_job_worker.py:98)
+    assert rows[U1]["errors"] == ["Boom('old failure')"]
 
 
 def test_selectable_filter(spark):

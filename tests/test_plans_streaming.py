@@ -57,6 +57,71 @@ def test_fetch_join_is_broadcast_no_pages_shuffle(spark, tmp_path):
     plans.assert_no_exchange(joined, "(fetch join must not shuffle the corpus)")
 
 
+def test_fetch_join_broadcast_gate_switches_strategy(spark, tmp_path):
+    """VERDICT r1 'what's wrong #3': the round-selection broadcast must be
+    gated on the counted selection size — over the bound the plan falls
+    back to a shuffle join instead of force-broadcasting the frontier."""
+    from xtracted_crawlers_spark.crawl import fetch_join
+
+    pages = fixtures.gen_pages(spark, 100, n_hosts=4, partitions=2)
+    ppath = str(tmp_path / "pages_gate.parquet")
+    pages.write.parquet(ppath)
+    pages = read_pages(spark, ppath)
+    sel = spark.createDataFrame(
+        [(fixtures.page_url(i, 4),) for i in range(10)], "url string"
+    )
+    # kill auto-broadcast so only the explicit hint (the gate) decides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert plans.has_broadcast_join(fetch_join(pages, sel, broadcast_ok=True))
+        assert not plans.has_broadcast_join(fetch_join(pages, sel, broadcast_ok=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_load_frontier_windows_deltas_not_base(spark, tmp_path):
+    """VERDICT r1 'what's wrong' (crawl_rounds plan): merge-on-read must
+    row_number() over the DELTAS only — the base reaches the result via
+    anti-join ∪, never through the window sort. Semantics: latest delta
+    wins per key, untouched base rows survive, new delta keys appear."""
+    from pyspark.sql import Row
+
+    from xtracted_crawlers_spark.crawl import load_frontier
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh_mor"))
+    cols = "user_id string, job_id long, url_id string, v int"
+    base = spark.createDataFrame(
+        [("u", 1, f"B{i}", 0) for i in range(6)], cols
+    )
+    cat.commit(base, FRONTIER_TABLE, round_id=0, metrics={"kind": "base"})
+    d1 = spark.createDataFrame([("u", 1, "B1", 1), ("u", 1, "B2", 1)], cols)
+    cat.commit(d1, FRONTIER_TABLE, round_id=1, metrics={"kind": "delta"})
+    d2 = spark.createDataFrame([("u", 1, "B2", 2), ("u", 1, "B9", 2)], cols)
+    cat.commit(d2, FRONTIER_TABLE, round_id=2, metrics={"kind": "delta"})
+
+    fr = load_frontier(spark, cat)
+    got = {r["url_id"]: r["v"] for r in fr.collect()}
+    assert got == {"B0": 0, "B1": 1, "B2": 2, "B3": 0, "B4": 0, "B5": 0, "B9": 2}
+
+    # plan shape: the base scan must NOT feed the window. In the old
+    # (full-frontier) plan the Window was the root — printed before every
+    # scan; in the delta-only plan the base scan is the anti-join's left
+    # child and prints before the first Window node. (Long pytest tmp
+    # paths truncate scan locations at 100 chars — widen for the check.)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plans.physical_plan(load_frontier(spark, cat))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "Window" in plan
+    assert "snap-000000" in plan, "plan text lost the scan location"
+    assert plan.index("snap-000000") < plan.index("Window"), (
+        "base snapshot appears below the MoR window — full-frontier sort is back"
+    )
+
+
 def test_minhash_signature_build_is_map_only(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plans.assert_no_exchange(dedup.minhash_signatures(docs))

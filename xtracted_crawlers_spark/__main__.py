@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--use-bloom", action="store_true")
     c.add_argument("--storage", choices=["delta", "full"], default="delta")
     c.add_argument("--master", default=None)
+    c.add_argument(
+        "--quota", help="api_requests parquet path (user_id, requests) — per-user budgets"
+    )
 
     args = ap.parse_args(argv)
 
@@ -84,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=args.use_bloom,
         frontier_storage=args.storage,
     )
-    metrics = run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg)
+    quota = spark.read.parquet(args.quota) if getattr(args, "quota", None) else None
+    metrics = run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg, quota=quota)
     for m in metrics:
         print(json.dumps(m))
     return 0

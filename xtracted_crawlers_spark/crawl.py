@@ -13,11 +13,12 @@ replaces at-least-once message delivery).
 Physical shape per round (local[N] now, 1000 executors later):
 - selection: frontier scan with status/retries predicate (partition-
   prunable), per-host window rank bounded by the politeness budget;
-- fetch join: inner hash join pages ⋈ broadcast(selected) — the selected
-  set is budget-bounded and ~always broadcastable; fetch misses are
-  recovered with an anti-join against the (small) hit set, so the huge
-  pages table is never shuffled; with an Iceberg pages table bucketed by
-  url the same join is storage-pruned;
+- fetch join: inner hash join pages ⋈ selected, broadcast ONLY when the
+  counted selection is under broadcast_select_max (with budget-less
+  defaults the selection is the whole pending frontier — never force-
+  broadcast that); fetch misses are recovered with an anti-join against
+  the hit set, so the huge pages table is never shuffled; with an
+  Iceberg pages table bucketed by url the same join is storage-pruned;
 - extraction: ONE Arrow UDF pass, input repartitioned by salted host so a
   hot host can't pin a partition;
 - merge: untouched ∪ updated ∪ discovered, committed as the next frontier
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import frontier as FR
+from . import quota as QT
 from . import scheduler, seen
 from .catalog import ParquetSnapshotCatalog
 from .extract import PAYLOAD_SCHEMA, with_extraction
@@ -57,6 +59,16 @@ class CrawlConfig:
     # a 10^10-row frontier only 'delta' survives).
     frontier_storage: str = "delta"
     compact_every: int = 8
+    # broadcast the round selection into the fetch join only when its
+    # counted size is under this bound. The default config leaves
+    # default_budget/global_budget None (budget ~2^62), so the selection
+    # can be the ENTIRE pending frontier — at 10^10 URLs an unconditional
+    # broadcast OOMs the driver/executors; above the bound the join falls
+    # back to a shuffle hash join (bucket-pruned under real Iceberg).
+    broadcast_select_max: int = 2_000_000
+    # derive + commit the jobs table (job_status/progress/heartbeat) each
+    # round — the reference's jobs/running_jobs bookkeeping (quota.py)
+    track_jobs: bool = True
 
 
 FRONTIER_TABLE = "frontier"
@@ -84,15 +96,24 @@ def load_frontier(spark: SparkSession, catalog: ParquetSnapshotCatalog) -> DataF
         return parts[0].drop("_snap")
     from pyspark.sql import Window
 
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
+    # merge-on-read WITHOUT a full-frontier window: the row_number dedup
+    # runs over the DELTAS ONLY (bounded by compact_every rounds of
+    # touched rows), then the base is anti-joined against the delta key
+    # set — AQE broadcasts that key set when it's small, so a tiny delta
+    # never reshuffles the 10^10-row base. (The old plan windowed
+    # base ∪ deltas, a full-frontier shuffle every round.)
+    base = parts[0].drop("_snap")
+    deltas = parts[1]
+    for p in parts[2:]:
+        deltas = deltas.unionByName(p)
     w = Window.partitionBy(*KEY).orderBy(F.desc("_snap"))
-    return (
-        merged.withColumn("_rn", F.row_number().over(w))
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_snap")
     )
+    untouched = base.join(latest.select(*KEY), KEY, "left_anti")
+    return untouched.unionByName(latest)
 
 
 def bootstrap(
@@ -115,11 +136,29 @@ def bootstrap(
     )
 
 
-def _merge_updates(frontier_df: DataFrame, updated: DataFrame) -> DataFrame:
+def _merge_updates(
+    frontier_df: DataFrame, updated: DataFrame, broadcast_keys: bool = True
+) -> DataFrame:
     """MERGE semantics: replace rows whose key is in `updated`, keep the
-    rest (Iceberg MERGE INTO equivalent for the parquet fallback)."""
-    untouched = frontier_df.join(F.broadcast(updated.select(*KEY)), KEY, "left_anti")
+    rest (Iceberg MERGE INTO equivalent for the parquet fallback).
+    broadcast_keys follows the round's selection-size gate — the updated
+    set is bounded by the selection, so the same threshold applies."""
+    keys = updated.select(*KEY)
+    untouched = frontier_df.join(F.broadcast(keys) if broadcast_keys else keys, KEY, "left_anti")
     return untouched.unionByName(updated.select(*frontier_df.columns))
+
+
+def fetch_join(pages: DataFrame, sel: DataFrame, broadcast_ok: bool) -> DataFrame:
+    """A4 fetch: pages ⋈ selection on url. The selection is broadcast only
+    when the caller counted it under CrawlConfig.broadcast_select_max —
+    with budget-less defaults `sel` can be the whole pending frontier, and
+    forcing a broadcast there OOMs at scale. Above the bound it's a plain
+    equi join: AQE may still broadcast at runtime if the real size is
+    small, which is exactly the safe direction."""
+    page_side = pages.select(
+        "url", F.col("html").alias("_html"), F.col("text").alias("_golden_text")
+    )
+    return page_side.join(F.broadcast(sel) if broadcast_ok else sel, "url", "inner")
 
 
 def run_round(
@@ -141,17 +180,34 @@ def run_round(
         default_budget=cfg.default_budget,
         global_budget=cfg.global_budget,
     )
-    sel = sel.cache()
-    n_selected = sel.count()
+    # A5 quota gate: cut the politeness-cut selection to each user's
+    # remaining api_requests budget, in the same crawl order
+    quota_df = (
+        catalog.load(spark, QT.QUOTA_TABLE) if catalog.exists(QT.QUOTA_TABLE) else None
+    )
+    n_quota_excluded = 0
+    if quota_df is not None:
+        pre = sel.cache()
+        n_pre = pre.count()
+        sel = QT.apply_quota(pre, quota_df)
+        sel = sel.cache()
+        n_selected = sel.count()
+        n_quota_excluded = n_pre - n_selected
+        pre.unpersist()
+    else:
+        sel = sel.cache()
+        n_selected = sel.count()
     if n_selected == 0:
         sel.unpersist()
-        return {"round": round_id, "selected": 0}
+        m: dict[str, Any] = {"round": round_id, "selected": 0}
+        if quota_df is not None:
+            m["quota_excluded"] = int(n_quota_excluded)
+        return m
 
-    # --- fetch: pages ⋈ broadcast(selected); misses via anti vs hit keys ---
-    page_side = pages.select(
-        "url", F.col("html").alias("_html"), F.col("text").alias("_golden_text")
-    )
-    hits = page_side.join(F.broadcast(sel), "url", "inner")
+    # --- fetch: pages ⋈ selected (broadcast iff counted small enough);
+    # misses recovered via anti-join vs hit keys ---
+    can_broadcast = n_selected <= cfg.broadcast_select_max
+    hits = fetch_join(pages, sel, can_broadcast)
     extract_in = scheduler.salted_repartition(hits, cfg.salt_n, cfg.extract_partitions)
     extracted = with_extraction(extract_in, url_col="url", html_col="_html").cache()
 
@@ -175,7 +231,7 @@ def run_round(
     )
 
     hit_keys = extracted.select(*KEY)
-    missed = sel.join(F.broadcast(hit_keys), KEY, "left_anti")
+    missed = sel.join(F.broadcast(hit_keys) if can_broadcast else hit_keys, KEY, "left_anti")
     miss_rows = (
         missed.withColumn("status", F.lit(RUNNING))
         .withColumn("retries", F.col("retries") + 1)
@@ -210,9 +266,11 @@ def run_round(
         "fetch_missed": int(n_selected - agg["fetched"]),
         "text_mismatch": int(agg["text_mismatch"]),
     }
+    if quota_df is not None:
+        metrics["quota_excluded"] = int(n_quota_excluded)
 
     # --- discovery: variant URL expansion (flag-gated; C3) ----------------
-    new_frontier = _merge_updates(fr, updated)
+    new_frontier = _merge_updates(fr, updated, broadcast_keys=can_broadcast)
     delta = updated.select(*fr.columns)
     if cfg.expand_variants:
         cands = (
@@ -266,6 +324,34 @@ def run_round(
     else:
         metrics["kind"] = "base"
         catalog.commit(new_frontier, FRONTIER_TABLE, round_id=round_id, metrics=metrics)
+
+    # A5 quota decrement: one per completed URL, committed with the round
+    # (reference runs the decrement in the completion transaction)
+    if quota_df is not None:
+        catalog.commit(
+            QT.decrement_quota(quota_df, ok.select("user_id")),
+            QT.QUOTA_TABLE,
+            round_id=round_id,
+            metrics={"event": "quota_decrement", "round": round_id},
+        )
+    # jobs bookkeeping: job_status/progress/heartbeat. Incremental update
+    # from the round's touched rows when possible (never scans the
+    # frontier); full derive on the first round, under discovery, or when
+    # an unseen job appears (mid-crawl seed ingest).
+    if cfg.track_jobs:
+        jobs_df = None
+        if catalog.exists(QT.JOBS_TABLE) and not cfg.expand_variants:
+            jobs_df = QT.job_status_delta(
+                catalog.load(spark, QT.JOBS_TABLE), updated, round_id
+            )
+        if jobs_df is None:
+            jobs_df = QT.job_status(new_frontier)
+        catalog.commit(
+            jobs_df,
+            QT.JOBS_TABLE,
+            round_id=round_id,
+            metrics={"event": "job_status", "round": round_id},
+        )
     sel.unpersist()
     extracted.unpersist()
     return metrics
@@ -283,11 +369,19 @@ def rerun_job(
     selection, so the caller just continues with run_crawl/run_round."""
     fr = load_frontier(spark, catalog)
     reset = FR.reset_job(fr, user_id, job_id)
-    return catalog.commit(
+    sid = catalog.commit(
         reset,
         FRONTIER_TABLE,
         metrics={"event": "rerun_job", "user_id": user_id, "job_id": job_id, "kind": "base"},
     )
+    # reference sets jobs.job_status='running' in the same run_job event
+    # (pg_crawl_job_worker.py:123-136); derived state gives the same answer
+    catalog.commit(
+        QT.job_status(load_frontier(spark, catalog)),
+        QT.JOBS_TABLE,
+        metrics={"event": "rerun_job", "user_id": user_id, "job_id": job_id},
+    )
+    return sid
 
 
 def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
@@ -307,16 +401,21 @@ def run_crawl(
     seeds: Optional[DataFrame] = None,
     robots: Optional[DataFrame] = None,
     cfg: Optional[CrawlConfig] = None,
+    quota: Optional[DataFrame] = None,
 ) -> list[dict[str, Any]]:
     """Full crawl: bootstrap (unless resuming an existing frontier) then
     rounds until nothing is selectable. Resume = call again with the same
-    catalog; it continues from the latest committed snapshot."""
+    catalog; it continues from the latest committed snapshot. quota:
+    optional (user_id, requests) budgets — committed as the api_requests
+    table once, then maintained per round."""
     cfg = cfg or CrawlConfig()
     rules = scheduler.robots_rules(robots) if robots is not None else None
     if rules is not None:
         rules = rules.cache()
     if seeds is not None and not catalog.exists(FRONTIER_TABLE):
         bootstrap(spark, catalog, seeds)
+    if quota is not None and not catalog.exists(QT.QUOTA_TABLE):
+        catalog.commit(quota, QT.QUOTA_TABLE, metrics={"event": "quota_init"})
     start_round = 1
     last = catalog.latest_snapshot(FRONTIER_TABLE)
     if last is not None:

@@ -159,17 +159,16 @@ def ingest_seeds(
 
 
 def reset_job(frontier: DataFrame, user_id: str, job_id: int) -> DataFrame:
-    """B1 run_job reset: data=NULL, retries=0, errors=[], status=pending,
-    created_at=now for the job's rows (pg_crawl_job_worker.py:96-101);
-    everything else untouched. One column-level MERGE, no per-row events —
-    the fan-out IS the next round's selection."""
+    """B1 run_job reset: data=NULL, retries=0, status=pending,
+    created_at=now for the job's rows (pg_crawl_job_worker.py:96-101 —
+    the reference updates ONLY those columns; accumulated ``errors`` are
+    preserved across reruns). Everything else untouched. One column-level
+    MERGE, no per-row events — the fan-out IS the next round's
+    selection."""
     hit = (F.col("user_id") == user_id) & (F.col("job_id") == job_id)
     return _conform(
         frontier.withColumn("status", F.when(hit, F.lit(PENDING)).otherwise(F.col("status")))
         .withColumn("retries", F.when(hit, F.lit(0)).otherwise(F.col("retries")))
-        .withColumn(
-            "errors", F.when(hit, F.array().cast("array<string>")).otherwise(F.col("errors"))
-        )
         .withColumn("data", F.when(hit, F.lit(None).cast(PAYLOAD_SCHEMA)).otherwise(F.col("data")))
         .withColumn(
             "payload_json", F.when(hit, F.lit(None).cast("string")).otherwise(F.col("payload_json"))
