@@ -50,3 +50,22 @@ def test_missing_table_raises(spark, cat):
     with pytest.raises(FileNotFoundError):
         cat.load(spark, "nope")
     assert not cat.exists("nope")
+
+
+def test_iceberg_catalog_gated(spark):
+    """The Iceberg-native catalog refuses to construct without the
+    runtime (this sandbox has no iceberg jar); on a configured cluster
+    the same test body runs the real DDL path."""
+    from xtracted_crawlers_spark import catalog_iceberg as CI
+
+    if CI.iceberg_available(spark):  # pragma: no cover - cluster only
+        cat = CI.IcebergSnapshotCatalog(spark)
+        df = spark.createDataFrame([("u", 1, "B1")], "user_id string, job_id long, url_id string")
+        cat.commit(df, "frontier", round_id=0, metrics={"event": "bootstrap"})
+        assert cat.exists("frontier")
+        assert cat.load(spark, "frontier").count() == 1
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+            CI.IcebergSnapshotCatalog(spark)
