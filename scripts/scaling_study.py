@@ -131,21 +131,35 @@ def run_level(cpus: int, n_pages: int) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     ceil = machine_ceiling()
-    # interleave several full passes and keep the best throughput per
-    # level: the host's deliverable CPU fluctuates (noisy neighbors), and
-    # interleaving prevents a slow window from biasing one level only
-    passes = int(os.environ.get("SCALE_PASSES", "2"))
-    levels: dict[int, dict] = {}
+    # interleave several full passes: the host's deliverable CPU
+    # fluctuates (noisy neighbors) and interleaving prevents a slow
+    # window from biasing one level only. Per VERDICT r1 the PRIMARY
+    # number is the per-level MEDIAN across passes (best is reported as
+    # secondary context, never as the headline).
+    passes = int(os.environ.get("SCALE_PASSES", "3"))
+    runs: dict[int, list[dict]] = {2: [], 8: [], 32: []}
     for _p in range(passes):
         for c in (2, 8, 32):
-            r = run_level(c, n_pages)
-            best = levels.setdefault(c, r)
-            for rate, sec in (
-                ("extract_urls_per_sec", "extract_sec"),
-                ("minhash_docs_per_sec", "minhash_sec"),
-            ):
-                if r[rate] > best[rate]:
-                    best[rate], best[sec] = r[rate], r[sec]
+            runs[c].append(run_level(c, n_pages))
+
+    import statistics
+
+    def stat(c: int, key: str) -> tuple[float, float]:
+        vals = [r[key] for r in runs[c]]
+        return round(statistics.median(vals), 1), round(max(vals), 1)
+
+    levels: dict[int, dict] = {}
+    for c in (2, 8, 32):
+        med_e, best_e = stat(c, "extract_urls_per_sec")
+        med_m, best_m = stat(c, "minhash_docs_per_sec")
+        levels[c] = {
+            "cpus": c,
+            "n_pages": runs[c][0]["n_pages"],
+            "extract_urls_per_sec_median": med_e,
+            "extract_urls_per_sec_best": best_e,
+            "minhash_docs_per_sec_median": med_m,
+            "minhash_docs_per_sec_best": best_m,
+        }
 
     def eff(a: int, b: int, key: str) -> float:
         return round((levels[b][key] / levels[a][key]) / (b / a), 3)
@@ -154,26 +168,37 @@ def main() -> None:
         machine = ceil[b] / ceil[a]
         return round((levels[b][key] / levels[a][key]) / machine, 3)
 
+    ekey, mkey = "extract_urls_per_sec_median", "minhash_docs_per_sec_median"
     result = {
         "machine_python_ceiling_ops_per_sec": ceil,
+        "passes": passes,
         "levels": levels,
-        "eff_2_to_8_extract": eff(2, 8, "extract_urls_per_sec"),
-        "eff_2_to_8_extract_machine_normalized": eff_norm(2, 8, "extract_urls_per_sec"),
-        "eff_8_to_32_extract_raw": eff(8, 32, "extract_urls_per_sec"),
-        "eff_8_to_32_extract_machine_normalized": eff_norm(8, 32, "extract_urls_per_sec"),
-        "eff_2_to_8_minhash": eff(2, 8, "minhash_docs_per_sec"),
-        "eff_8_to_32_minhash_raw": eff(8, 32, "minhash_docs_per_sec"),
+        "eff_2_to_8_extract_median_raw": eff(2, 8, ekey),
+        "eff_2_to_8_extract_best_raw": eff(2, 8, "extract_urls_per_sec_best"),
+        "eff_2_to_8_extract_machine_normalized": eff_norm(2, 8, ekey),
+        "eff_8_to_32_extract_median_raw": eff(8, 32, ekey),
+        "eff_8_to_32_extract_best_raw": eff(8, 32, "extract_urls_per_sec_best"),
+        "eff_8_to_32_extract_machine_normalized": eff_norm(8, 32, ekey),
+        "eff_2_to_8_minhash_median_raw": eff(2, 8, mkey),
+        "eff_8_to_32_minhash_median_raw": eff(8, 32, mkey),
     }
     print(json.dumps(result))
 
     L = levels
+    raw_2_8 = result["eff_2_to_8_extract_median_raw"]
+    raw_8_32 = result["eff_8_to_32_extract_median_raw"]
+    verdict_2_8 = "MET" if raw_2_8 >= 0.8 else "NOT MET raw"
+    verdict_8_32 = "MET" if raw_8_32 >= 0.8 else "NOT MET raw"
     md = f"""# BENCH — throughput & scaling evidence
 
 Driver-instruction stand-in for the north_rule's two-cluster-size
 criterion: the same job at parallelism levels N and 4N on the same
 {n_pages}-page deterministic synthetic corpus (FIXTURES.md §1), each
 level in a fresh JVM PINNED to exactly N CPUs (taskset), warm worker
-pool, best of {REPS} reps. Full-column materialization is forced with a
+pool, best of {REPS} reps per pass, {passes} interleaved passes.
+**Headline numbers are per-level MEDIANS across passes** (the host's
+deliverable CPU swings between windows; best-of is reported only as
+secondary context). Full-column materialization is forced with a
 checksum aggregate so Catalyst cannot prune the measured work.
 
 **Host reality check** — 32 virtual cores whose aggregate throughput
@@ -183,22 +208,29 @@ Python workload can extract from this box:
 2 procs {ceil[2]:.2e} ops/s · 8 procs {ceil[8]:.2e} · 32 procs {ceil[32]:.2e}
 ⇒ the machine itself delivers {round(ceil[8]/ceil[2],2)}x from 2→8
 ({round(ceil[8]/ceil[2]/4,2)} "efficiency") and {round(ceil[32]/ceil[8],2)}x
-from 8→32 ({round(ceil[32]/ceil[8]/4,2)}); engine efficiency is reported
-raw and normalized to this ceiling.
+from 8→32 ({round(ceil[32]/ceil[8]/4,2)}).
 
-| job | local[2] | local[8] | local[32] |
+| job (median / best) | local[2] | local[8] | local[32] |
 |---|---|---|---|
-| fetch+extract (urls/s) | {L[2]['extract_urls_per_sec']} | {L[8]['extract_urls_per_sec']} | {L[32]['extract_urls_per_sec']} |
-| minhash signatures (docs/s) | {L[2]['minhash_docs_per_sec']} | {L[8]['minhash_docs_per_sec']} | {L[32]['minhash_docs_per_sec']} |
+| fetch+extract (urls/s) | {L[2]['extract_urls_per_sec_median']} / {L[2]['extract_urls_per_sec_best']} | {L[8]['extract_urls_per_sec_median']} / {L[8]['extract_urls_per_sec_best']} | {L[32]['extract_urls_per_sec_median']} / {L[32]['extract_urls_per_sec_best']} |
+| minhash signatures (docs/s) | {L[2]['minhash_docs_per_sec_median']} / {L[2]['minhash_docs_per_sec_best']} | {L[8]['minhash_docs_per_sec_median']} / {L[8]['minhash_docs_per_sec_best']} | {L[32]['minhash_docs_per_sec_median']} / {L[32]['minhash_docs_per_sec_best']} |
 
-| criterion (target >= 0.8) | value |
-|---|---|
-| extract efficiency N=2 -> 4N=8 raw | **{result['eff_2_to_8_extract']}** |
-| extract efficiency N=2 -> 4N=8 normalized to machine ceiling | **{result['eff_2_to_8_extract_machine_normalized']}** |
-| extract efficiency 8 -> 32 raw (host-contention-capped) | {result['eff_8_to_32_extract_raw']} |
-| extract efficiency 8 -> 32 normalized to machine ceiling | **{result['eff_8_to_32_extract_machine_normalized']}** |
-| minhash efficiency N=2 -> 4N=8 raw | **{result['eff_2_to_8_minhash']}** |
-| minhash efficiency 8 -> 32 raw | {result['eff_8_to_32_minhash_raw']} |
+| criterion (target >= 0.8, RAW MEDIAN is the verdict) | value | verdict |
+|---|---|---|
+| extract efficiency N=2 -> 4N=8 raw median | **{raw_2_8}** | {verdict_2_8} |
+| extract efficiency 8 -> 32 raw median | **{raw_8_32}** | {verdict_8_32} |
+| extract efficiency N=2 -> 4N=8 raw best-of | {result['eff_2_to_8_extract_best_raw']} | context |
+| extract efficiency 8 -> 32 raw best-of | {result['eff_8_to_32_extract_best_raw']} | context |
+| extract 2 -> 8 normalized to machine ceiling | {result['eff_2_to_8_extract_machine_normalized']} | context |
+| extract 8 -> 32 normalized to machine ceiling | {result['eff_8_to_32_extract_machine_normalized']} | context |
+| minhash efficiency 2 -> 8 raw median | {result['eff_2_to_8_minhash_median_raw']} | {"MET" if result['eff_2_to_8_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
+| minhash efficiency 8 -> 32 raw median | {result['eff_8_to_32_minhash_median_raw']} | {"MET" if result['eff_8_to_32_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
+
+The machine-normalized figures are CONTEXT, not the verdict: they bound
+how much of the shortfall is host contention vs engine overhead. When a
+raw-median row says NOT MET, the target is unmet on this host — on a
+real 1000-executor cluster the equivalent evidence is N vs 4N executors
+with no shared-core contention.
 
 Raw JSON: `{json.dumps(result)}`
 
