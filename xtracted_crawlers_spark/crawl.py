@@ -325,11 +325,22 @@ def run_round(
         metrics["kind"] = "base"
         catalog.commit(new_frontier, FRONTIER_TABLE, round_id=round_id, metrics=metrics)
 
+    # --- bookkeeping tables (quota, jobs) -----------------------------------
+    # derived from the JUST-COMMITTED snapshot (a tiny delta-file read),
+    # NOT from the in-memory lineage — re-evaluating `updated`/`ok` here
+    # would re-run the fetch-join/extraction DAG once per bookkeeping
+    # table (measured ~2x round cost at sf0.1)
+    if quota_df is not None or cfg.track_jobs:
+        committed_now = catalog.load(spark, FRONTIER_TABLE)
+        touched = committed_now.filter(F.col("round") == round_id)
+
     # A5 quota decrement: one per completed URL, committed with the round
     # (reference runs the decrement in the completion transaction)
     if quota_df is not None:
         catalog.commit(
-            QT.decrement_quota(quota_df, ok.select("user_id")),
+            QT.decrement_quota(
+                quota_df, touched.filter(F.col("status") == COMPLETE).select("user_id")
+            ),
             QT.QUOTA_TABLE,
             round_id=round_id,
             metrics={"event": "quota_decrement", "round": round_id},
@@ -342,10 +353,10 @@ def run_round(
         jobs_df = None
         if catalog.exists(QT.JOBS_TABLE) and not cfg.expand_variants:
             jobs_df = QT.job_status_delta(
-                catalog.load(spark, QT.JOBS_TABLE), updated, round_id
+                catalog.load(spark, QT.JOBS_TABLE), touched, round_id
             )
         if jobs_df is None:
-            jobs_df = QT.job_status(new_frontier)
+            jobs_df = QT.job_status(load_frontier(spark, catalog))
         catalog.commit(
             jobs_df,
             QT.JOBS_TABLE,
