@@ -124,3 +124,20 @@ def test_metrics_history(spark, sf_dir, tmp_path):
     assert hist[0]["event"] == "bootstrap"
     assert all("n_files" in h and h["n_files"] > 0 for h in hist)
     assert any(h.get("completed", 0) > 0 for h in hist)
+
+
+def test_near_dup_lsh_matches_exact(spark, sf_dir):
+    """Production near-dup path: LSH candidates + exact cosine filter.
+    Precision is exact by construction (all emitted pairs re-scored);
+    recall vs the all-pairs baseline must be >=0.8 at tuned tables."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in similarity.near_dup_pairs(emb, threshold=0.3).collect()}
+    approx = {(r["doc_a"], r["doc_b"]): r["cosine"]
+              for r in similarity.near_dup_pairs_lsh(emb, threshold=0.3).collect()}
+    assert exact, "corpus should contain near-dups at this threshold"
+    assert set(approx) <= set(exact)  # exact precision
+    for k, v in approx.items():
+        assert v == exact[k]  # bit-identical rounded scores
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"near-dup LSH recall too low: {recall}"

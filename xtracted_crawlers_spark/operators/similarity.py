@@ -91,6 +91,61 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_lsh(
+    items: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PRODUCTION near-dup path: SRP-LSH bucket collisions generate
+    candidates (a groupBy-key equi self-join — linear-ish, skew-cappable),
+    then the exact cosine filter keeps pairs ≥ threshold. Same output
+    contract as near_dup_pairs; precision is exact (every emitted pair is
+    re-scored), recall grows with n_tables. `near_dup_pairs` (all-pairs
+    O(n²) BroadcastNestedLoop) stays ONLY as the small-input oracle
+    baseline — route anything big here."""
+    def bucketed(df: DataFrame) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                df.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(vec_col, n_planes, dim, table=t).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    b = bucketed(items)
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    va, vb = F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    na = F.sqrt(F.aggregate(F.zip_with(va, va, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(vb, vb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    return (
+        cand.withColumn("cosine", F.round(_cosine(va, vb, na, nb), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def _hyperplane(plane: int, dim: int, tag: str = "srp") -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1) from
     md5 — no RNG state, same plane on every executor/run."""
