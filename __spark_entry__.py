@@ -799,8 +799,47 @@ select query_id, neighbor_id, cast(rank as bigint) as rank, cosine from r where 
 """
 
 
+def q_sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup path (LSH candidates + exact cosine
+    filter) — oracle-checked with the same hyperplane literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_lsh(
+        emb, threshold=0.3, n_planes=4, n_tables=6, dim=_ANN_DIM
+    )
+
+
+def _sql_near_dup_lsh(n_planes: int = 4, n_tables: int = 6) -> str:
+    from xtracted_crawlers_spark.operators.similarity import _hyperplane
+
+    def bucket(tbl: int, col: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = _dbl_arr([_hyperplane(p + tbl * 1000, d) for d in range(_ANN_DIM)])
+            terms.append(
+                f"(case when list_dot_product({col}, {plane}) >= 0 then {2**p} else 0 end)"
+            )
+        return " + ".join(terms)
+
+    b = "\nunion all\n".join(
+        f"select vec_id as id, {t} as tbl, {bucket(t, 'v')} as bucket from n"
+        for t in range(n_tables)
+    )
+    return f"""
+with n as (select vec_id, cast(embedding as double[]) as v from embeddings),
+b as ({b}),
+cand as (select distinct a.id as doc_a, b2.id as doc_b
+         from b a join b b2 using (tbl, bucket) where a.id < b2.id),
+s as (select doc_a, doc_b,
+        round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))), 4) as cosine
+      from cand join n x on x.vec_id = doc_a join n y on y.vec_id = doc_b)
+select doc_a, doc_b, cosine from s where cosine >= 0.3
+"""
+
+
 SQL_SIM_ANN_LSH = _sql_ann_lsh()
 SQL_SIM_ANN_IVF = _sql_ann_ivf()
+SQL_SIM_NEAR_DUP_LSH = _sql_near_dup_lsh()
 
 
 # ---------------------------------------------------------------------------
@@ -942,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hyperplane/centroid literals / md5-stub arithmetic)
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_near_dup_lsh": q_sim_near_dup_lsh,
         "mm_image_features": q_mm_image_features,
         "mm_frame_sample": q_mm_frame_sample,
     }
@@ -978,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "sim_ann_lsh": SQL_SIM_ANN_LSH,
         "sim_ann_ivf": SQL_SIM_ANN_IVF,
+        "sim_near_dup_lsh": SQL_SIM_NEAR_DUP_LSH,
         "mm_image_features": SQL_MM_IMAGE_FEATURES,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     }
