@@ -493,6 +493,57 @@ select doc_id, {concat} as simhash from b
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline, end-to-end in one plan:
+    exact-dedup (keep canonical doc per fingerprint) → language filter
+    (en) → quality gate (≥0.5) → per-source token accounting. Each stage
+    is the library operator; the whole thing is one Catalyst plan (dedup
+    aggregate + broadcast semi join + JVM column exprs, no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    canon = dedup.exact_duplicates(d).select(F.col("canonical_id").alias("doc_id"))
+    t = F.col("text")
+    kept = (
+        d.join(F.broadcast(canon), "doc_id", "left_semi")
+        .withColumn("pred_lang", textops.lang_id(t))
+        .withColumn("quality", textops.quality_score(t))
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    )
+    # quality is quarter-valued (sum of four 0.25 gates): aggregate it as
+    # exact integer quarters — avg()+round() of doubles is the one place
+    # the two engines' float rounding can legitimately diverge
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textops.token_count(t).cast("long")).alias("total_tokens"),
+        F.sum((F.col("quality") * 4).cast("long")).alias("quality_quarters"),
+    )
+
+
+def _sql_pipeline_corpus_prep() -> str:
+    langid = _sql_langid().strip()
+    return f"""
+with canon as (
+  select min(doc_id) as doc_id
+  from documents
+  group by md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+),
+lid as ({langid.replace('select doc_id,', 'select doc_id,', 1)}),
+scored as (
+  select d.doc_id, d.source, l.pred_lang, {_sql_quality('d.text')} as quality,
+         cast(length(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) as bigint) as n_tokens
+  from documents d
+  join canon using (doc_id)
+  join lid l on l.doc_id = d.doc_id
+)
+select source, count(*) as n_docs, sum(n_tokens) as total_tokens,
+       sum(cast(quality * 4 as bigint)) as quality_quarters
+from scored where pred_lang = 'en' and quality >= 0.5
+group by source
+"""
+
+
+SQL_PIPELINE_CORPUS_PREP = _sql_pipeline_corpus_prep()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -958,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_quota": q_crawl_quota,
         "crawl_job_status": q_crawl_job_status,
         # text analysis
+        "pipeline_corpus_prep": q_pipeline_corpus_prep,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1000,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_point_lookup": SQL_CRAWL_POINT_LOOKUP,
         "crawl_quota": SQL_CRAWL_QUOTA,
         "crawl_job_status": SQL_CRAWL_JOB_STATUS,
+        "pipeline_corpus_prep": SQL_PIPELINE_CORPUS_PREP,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
