@@ -33,6 +33,7 @@ HEADLINE = [
     "crawl_topk_per_host",
     "crawl_fetch_join",
     "crawl_seq_assign",
+    "pipeline_corpus_prep",
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
