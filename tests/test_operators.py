@@ -141,3 +141,32 @@ def test_near_dup_lsh_matches_exact(spark, sf_dir):
         assert v == exact[k]  # bit-identical rounded scores
     recall = len(approx) / len(exact)
     assert recall >= 0.8, f"near-dup LSH recall too low: {recall}"
+
+
+def test_simhash64_hamming_pairs(spark):
+    """64-bit simhash + banded hamming join: identical docs collide at
+    distance 0; a one-word-in-many change stays within the band budget;
+    unrelated docs don't pair."""
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # exact dup
+            (3, base.replace("w30", "CHANGED")),        # near dup
+            (4, " ".join(f"z{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.simhash64(docs)
+    assert sigs.count() == 4
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_hamming_pairs(sigs, max_distance=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in k for k in pairs)
+
+
+def test_simhash64_plan_single_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from xtracted_crawlers_spark import plans
+    assert plans.count_exchanges(dedup.simhash64(docs)) == 1  # one groupBy

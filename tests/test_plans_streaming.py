@@ -173,3 +173,25 @@ def test_streaming_seed_ingest(spark, tmp_path):
     assert stats.get("complete", 0) > 0
     hist = catalog.history(FRONTIER_TABLE)
     assert any(m.metrics.get("event") == "stream_ingest" for m in hist)
+
+
+def test_pipeline_corpus_prep_plan_is_jvm_only(spark, sf_dir):
+    """The composed prep pipeline must stay in codegen: no Python eval
+    nodes, canonical-set semi join broadcast."""
+    import __spark_entry__ as em
+
+    df = em.queries()["pipeline_corpus_prep"](spark, sf_dir)
+    assert plans.python_eval_nodes(df) == []
+    assert plans.has_broadcast_join(df)
+
+
+def test_quota_apply_broadcasts_budgets(spark):
+    from xtracted_crawlers_spark import quota as QT
+
+    sel = spark.createDataFrame(
+        [("u", 1, "B1", "https://h.test/dp/B1", 0, 1)],
+        "user_id string, job_id long, url_id string, url string, priority int, job_urls_seq long",
+    )
+    budgets = spark.createDataFrame([("u", 5)], "user_id string, requests long")
+    out = QT.apply_quota(sel, budgets)
+    assert plans.has_broadcast_join(out)  # quota table is one row per user

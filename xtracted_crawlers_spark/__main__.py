@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
         "--quota", help="api_requests parquet path (user_id, requests) — per-user budgets"
     )
 
+    j = sub.add_parser(
+        "jobs", help="job-level status from a crawl warehouse (the reference's "
+        "'is job N running/complete' query over the jobs table)"
+    )
+    j.add_argument("--warehouse", required=True)
+    j.add_argument("--user", help="filter to one user_id")
+    j.add_argument("--job", type=int, help="filter to one job_id")
+    j.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -71,6 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from .catalog import ParquetSnapshotCatalog
+
+    if args.cmd == "jobs":
+        from pyspark.sql import functions as F
+
+        from .quota import JOBS_TABLE
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        df = catalog.load(spark, JOBS_TABLE)
+        if args.user:
+            df = df.filter(F.col("user_id") == args.user)
+        if args.job is not None:
+            df = df.filter(F.col("job_id") == args.job)
+        for r in df.orderBy("user_id", "job_id").collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+
     from .crawl import CrawlConfig, run_crawl
     from .sources import read_pages
 

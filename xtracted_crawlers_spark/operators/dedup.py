@@ -207,6 +207,76 @@ def minhash_lsh_pairs(
     return est
 
 
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint): the 64-bit production variant — xxhash64
+    word hashes (JVM-native, no md5 string round-trip), bit p of the
+    signature set iff the majority of words have bit p set. Same plan
+    shape as simhash16 (word explode → one groupBy), 4× the signature
+    width for real near-dup bucketing at corpus scale. Not oracle-checked
+    (DuckDB has no xxhash64); simhash16 is the value-checked md5 twin."""
+    w = words_df(docs, id_col, text_col).select(
+        "doc_id", F.explode("words").alias("word")
+    )
+    h = w.withColumn("h", F.xxhash64("word"))
+    # bit masks via JVM shiftleft: a Python literal 1 << 63 overflows long
+    one = F.lit(1).cast("long")
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, p)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{p}")
+        for p in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for p in range(64):
+        bit = F.when(F.col(f"b{p}") > 0, F.shiftleft(one, p)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame, max_distance: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates from 64-bit simhashes: band the signature into
+    n_bands 16-bit chunks (pigeonhole: any pair within max_distance <
+    n_bands shares at least one exact chunk), bucket-join on (band,
+    chunk), then exact popcount filter. The join is an equi join on a
+    16-bit key — linear-ish and skew-cappable, never all-pairs."""
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash string of 16 bits): bit p set iff the majority of
     words have md5 hex digit p in [8..f]. 16 bits so the DuckDB oracle can
