@@ -195,3 +195,30 @@ def test_quota_apply_broadcasts_budgets(spark):
     budgets = spark.createDataFrame([("u", 5)], "user_id string, requests long")
     out = QT.apply_quota(sel, budgets)
     assert plans.has_broadcast_join(out)  # quota table is one row per user
+
+
+def test_select_round_literal_cap_enables_window_group_limit(spark, tmp_path):
+    """With a global budget, the per-host rank window must carry a
+    Partial WindowGroupLimit below the exchange — each map task forwards
+    only its per-host top-K instead of the whole selectable frontier."""
+    from xtracted_crawlers_spark import scheduler
+
+    fr = FR.ingest_seeds(
+        spark.createDataFrame(
+            [("u", 1, i, f"https://h{i % 5}.test/dp/B0{i:08d}") for i in range(200)],
+            "user_id string, job_id long, seed_idx int, url string",
+        )
+    )
+    path = str(tmp_path / "fr_cap.parquet")
+    fr.write.parquet(path)
+    sel = FR.selectable(spark.read.parquet(path))
+
+    capped = scheduler.select_round(sel, global_budget=7)
+    plan = plans.physical_plan(capped)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    # semantics unchanged vs the uncapped path + the global cut
+    uncapped = scheduler.select_round(sel)
+    expect = {r["url_id"] for r in uncapped.orderBy(
+        "priority", "job_urls_seq", "user_id", "job_id", "url_id").limit(7).collect()}
+    got = {r["url_id"] for r in capped.collect()}
+    assert got == expect

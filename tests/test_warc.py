@@ -1,0 +1,79 @@
+"""WARC source: round-trip fixture files through the file-granular
+binaryFile + mapInPandas reader; the crawl must run off WARC input
+unchanged (same pages-table shape)."""
+
+import gzip
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark.sources import parse_warc_stream, read_warc, write_warc_file
+
+
+def _rows(n, host="h.test"):
+    return [
+        {
+            "url": f"https://{host}/dp/B0{i:08d}",
+            "warc_ts": datetime(2024, 1, 1, 0, 0, i % 60),
+            "html": f"<html><body>doc {i}</body></html>".encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_parse_roundtrip_pure(tmp_path):
+    rows = _rows(5)
+    p = str(tmp_path / "a.warc")
+    write_warc_file(rows, p)
+    got = list(parse_warc_stream(open(p, "rb").read()))
+    assert [r["url"] for r in got] == [r["url"] for r in rows]
+    assert [r["html"] for r in got] == [r["html"] for r in rows]
+    assert got[0]["warc_ts"] == rows[0]["warc_ts"]
+
+
+def test_parse_gzip_whole_file(tmp_path):
+    rows = _rows(3)
+    p = str(tmp_path / "b.warc.gz")
+    write_warc_file(rows, p, compress=True)
+    raw = open(p, "rb").read()
+    assert raw[:2] == b"\x1f\x8b" and gzip.decompress(raw)
+    got = list(parse_warc_stream(raw))
+    assert len(got) == 3
+
+
+def test_read_warc_spark_multi_file(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc_file(_rows(20, "a.test"), str(d / "seg0.warc"))
+    write_warc_file(_rows(30, "b.test"), str(d / "seg1.warc.gz"), compress=True)
+    df = read_warc(spark, str(d))
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 50
+    hosts = {r["h"]: r["n"] for r in df.select(
+        F.parse_url("url", F.lit("HOST")).alias("h")).groupBy("h").agg(
+        F.count("*").alias("n")).collect()}
+    assert hosts == {"a.test": 20, "b.test": 30}
+
+
+def test_crawl_runs_off_warc_input(spark, tmp_path):
+    """End-to-end: WARC segments as the pages source for a crawl."""
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    rows = _rows(12)
+    d = tmp_path / "warcs2"
+    d.mkdir()
+    write_warc_file(rows, str(d / "seg.warc"))
+    pages = read_warc(spark, str(d))
+    seeds = spark.createDataFrame(
+        [("u", 1, i, rows[i]["url"]) for i in range(8)],
+        "user_id string, job_id long, seed_idx int, url string",
+    )
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    ms = run_crawl(spark, cat, pages, seeds, cfg=CrawlConfig(max_rounds=4))
+    fr = load_frontier(spark, cat)
+    stats = {r["status"]: r["n"] for r in fr.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    # fixture html has no ASIN payload element, so extraction fails and
+    # retries exhaust — the point is the source plumbing feeds the loop
+    assert sum(stats.values()) == 8
+    assert any(m["selected"] > 0 for m in ms)

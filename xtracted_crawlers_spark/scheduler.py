@@ -121,15 +121,29 @@ def select_round(
     round_seconds: float = _DEFAULT_ROUND_SECONDS,
     default_budget: Optional[int] = None,
     global_budget: Optional[int] = None,
+    max_host_budget: Optional[int] = None,
 ) -> DataFrame:
     """The round's fetch set: robots gate → per-host FIFO rank ≤ budget →
-    global ordered cut."""
+    global ordered cut.
+
+    Shuffle pruning: a LITERAL rank cap turns the window into a
+    WindowGroupLimit with a Partial stage BEFORE the exchange — each map
+    task forwards only its per-host top-K, so the rank shuffle moves
+    O(hosts·K) rows instead of the whole selectable frontier. The cap is
+    sound for any row with _host_rank > global_budget (at least
+    global_budget same-host rows precede it in crawl order, so the
+    global cut excludes it regardless of host budgets) and for
+    max_host_budget when the caller knows an upper bound on every
+    per-host budget (e.g. max crawl-rate × round_seconds fleet-wide)."""
     gated = apply_robots_gate(selectable, rules)
     # full tie-break (user_id, job_id, url_id) — two users can share a
     # (priority, seq) pair; the schedule must be deterministic for parity
     order = ["priority", "job_urls_seq", "user_id", "job_id", "url_id"]
     w = Window.partitionBy("host").orderBy(*order)
     ranked = gated.withColumn("_host_rank", F.row_number().over(w))
+    caps = [c for c in (global_budget, max_host_budget) if c is not None]
+    if caps:
+        ranked = ranked.filter(F.col("_host_rank") <= F.lit(min(caps)))
     if rules is not None:
         budgets = host_budgets(rules, round_seconds)
         ranked = ranked.join(F.broadcast(budgets), "host", "left")
