@@ -443,6 +443,27 @@ j as (select doc_a, doc_b,
 select doc_a, doc_b, jaccard from j where jaccard >= 0.1
 """
 
+def q_dedup_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle-capped production variant (max_df): shingles with
+    document frequency above the cap are dropped from both intersection
+    and sizes before the self-join."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1, max_df=40)
+
+
+SQL_DEDUP_JACCARD_GUARDED = f"""
+with {_SQL_SHINGLES},
+keep as (select shingle from sh group by shingle having count(*) <= 40),
+shk as (select doc_id, shingle from sh join keep using (shingle)),
+sz as (select doc_id, count(*) as n from shk group by 1),
+inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as it
+          from shk a join shk b using (shingle) where a.doc_id < b.doc_id group by 1, 2),
+j as (select doc_a, doc_b,
+        round(cast(it as double) / (x.n + y.n - it), 4) as jaccard
+      from inter join sz x on x.doc_id = doc_a join sz y on y.doc_id = doc_b)
+select doc_a, doc_b, jaccard from j where jaccard >= 0.1
+"""
+
+
 _N_PERMS = dedup.N_PERMS
 
 
@@ -1016,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         # similarity search
@@ -1058,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
