@@ -57,13 +57,29 @@ def stream_seed_ingest(
             load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
         )
         new_rows = FR.ingest_seeds(batch_df, existing, round_id=state["round"])
-        full = existing.unionByName(new_rows) if existing is not None else new_rows
-        catalog.commit(
-            full,
-            FRONTIER_TABLE,
-            round_id=state["round"],
-            metrics={"event": "stream_ingest", "batch_id": batch_id, "kind": "base"},
-        )
+        # ingested rows are NEW keys — in delta mode commit only them
+        # (merge-on-read unions them in), never a full-frontier rewrite
+        # per seed batch; periodic compaction bounds read amplification
+        # exactly like the batch loop
+        if (
+            existing is None
+            or cfg.frontier_storage != "delta"
+            or state["round"] % cfg.compact_every == 0
+        ):
+            full = existing.unionByName(new_rows) if existing is not None else new_rows
+            catalog.commit(
+                full,
+                FRONTIER_TABLE,
+                round_id=state["round"],
+                metrics={"event": "stream_ingest", "batch_id": batch_id, "kind": "base"},
+            )
+        else:
+            catalog.commit(
+                new_rows,
+                FRONTIER_TABLE,
+                round_id=state["round"],
+                metrics={"event": "stream_ingest", "batch_id": batch_id, "kind": "delta"},
+            )
         state["round"] += 1
         run_round(spark, catalog, pages, state["round"], cfg, rules)
 
