@@ -62,6 +62,17 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--job", type=int, help="filter to one job_id")
     j.add_argument("--master", default=None)
 
+    u = sub.add_parser(
+        "urls", help="URL-level frontier state (the reference's list_crawler_urls/"
+        "get_crawler_url service queries, E1/E2) — key filters push down to the scan"
+    )
+    u.add_argument("--warehouse", required=True)
+    u.add_argument("--user", help="filter to one user_id")
+    u.add_argument("--job", type=int, help="filter to one job_id")
+    u.add_argument("--url-id", help="point lookup of one url_id")
+    u.add_argument("--limit", type=int, default=100)
+    u.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -93,6 +104,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.job is not None:
             df = df.filter(F.col("job_id") == args.job)
         for r in df.orderBy("user_id", "job_id").collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "urls":
+        from pyspark.sql import functions as F
+
+        from .crawl import load_frontier
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        df = load_frontier(spark, catalog).select(
+            "user_id", "job_id", "url_id", "url", "status", "retries",
+            "errors", "priority", "job_urls_seq", "round",
+        )
+        if args.user:
+            df = df.filter(F.col("user_id") == args.user)
+        if args.job is not None:
+            df = df.filter(F.col("job_id") == args.job)
+        if args.url_id:
+            df = df.filter(F.col("url_id") == args.url_id)
+        for r in df.orderBy("user_id", "job_id", "job_urls_seq").limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
         return 0
 
