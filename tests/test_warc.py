@@ -77,3 +77,38 @@ def test_crawl_runs_off_warc_input(spark, tmp_path):
     # retries exhaust — the point is the source plumbing feeds the loop
     assert sum(stats.values()) == 8
     assert any(m["selected"] > 0 for m in ms)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_url_chars = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_url_chars, st.binary(max_size=500)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_warc_roundtrip_property(items):
+    """Content-Length framing must survive arbitrary payload bytes —
+    including payloads that contain 'WARC/' markers or CRLFCRLF."""
+    from datetime import datetime
+
+    rows = [
+        {"url": f"https://h.test/{u}", "warc_ts": datetime(2024, 1, 1), "html": b}
+        for u, b in items
+    ]
+    import io
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.warc")
+        write_warc_file(rows, p)
+        got = list(parse_warc_stream(open(p, "rb").read()))
+    assert [r["url"] for r in got] == [r["url"] for r in rows]
+    assert [r["html"] for r in got] == [r["html"] for r in rows]
