@@ -153,3 +153,39 @@ def test_incremental_jobs_equals_full_derive(spark, qcorpus, tmp_path):
         for r in QT.job_status(load_frontier(spark, cat)).collect()
     }
     assert committed == derived
+
+
+def test_quota_parity_engine_vs_simulator(spark, qcorpus, tmp_path):
+    """Engine with per-user quota must reach the same final frontier
+    state AND the same remaining budgets as the pure-Python simulator."""
+    from xtracted_crawlers_spark.simulator import ReferenceSimulator
+
+    pages_df = spark.read.parquet(qcorpus["pages"])
+    seeds_df = spark.read.parquet(qcorpus["seeds"])
+    users = _users(spark, qcorpus)
+    budgets = {u: 3 + i for i, u in enumerate(sorted(users))}
+
+    quota = spark.createDataFrame(list(budgets.items()), "user_id string, requests long")
+    cat = ParquetSnapshotCatalog(str(tmp_path / "whp"))
+    run_crawl(spark, cat, pages_df, seeds_df, cfg=CrawlConfig(max_rounds=10), quota=quota)
+
+    pages = {r["url"]: bytes(r["html"]).decode() for r in pages_df.collect()}
+    sim = ReferenceSimulator(pages, quota=dict(budgets))
+    by_job: dict = {}
+    for s in sorted(seeds_df.collect(), key=lambda r: (r["user_id"], r["job_id"], r["seed_idx"])):
+        by_job.setdefault((s["user_id"], s["job_id"]), []).append(s["url"])
+    for (u, j), urls in sorted(by_job.items()):
+        sim.submit(u, j, urls)
+    sim.run(max_rounds=10)
+
+    eng = {
+        (r["user_id"], r["job_id"], r["url_id"]): (r["status"], r["retries"])
+        for r in load_frontier(spark, cat).collect()
+    }
+    simst = {
+        (r["user_id"], r["job_id"], r["url_id"]): (r["status"], r["retries"])
+        for r in sim.frontier_rows()
+    }
+    assert eng == simst
+    eng_quota = {r["user_id"]: r["requests"] for r in cat.load(spark, QT.QUOTA_TABLE).collect()}
+    assert eng_quota == sim.quota

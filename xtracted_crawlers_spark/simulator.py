@@ -57,6 +57,7 @@ class ReferenceSimulator:
         default_budget: Optional[int] = None,
         global_budget: Optional[int] = None,
         max_tokens: Optional[dict[str, int]] = None,
+        quota: Optional[dict[str, int]] = None,  # user_id -> api_requests
     ):
         self.pages = pages
         self.rows: dict[tuple[str, int, str], SimRow] = {}
@@ -66,6 +67,9 @@ class ReferenceSimulator:
         self.global_budget = global_budget
         self.rules: dict[str, tuple[list[str], Optional[float]]] = {}
         self.max_tokens = max_tokens or {}
+        # A5 quota: remaining api_requests per user (context.py:147-150);
+        # users absent from the dict are unlimited
+        self.quota = dict(quota) if quota is not None else None
         for h, txt in (robots or {}).items():
             self.rules[h] = parse_robots(txt)
 
@@ -126,6 +130,19 @@ class ReferenceSimulator:
             taken.append(r)
         if self.global_budget is not None:
             taken = taken[: self.global_budget]
+        if self.quota is not None:
+            kept: list[SimRow] = []
+            per_user: dict[str, int] = {}
+            for r in taken:
+                req = self.quota.get(r.user_id)
+                if req is None:
+                    kept.append(r)
+                    continue
+                c = per_user.get(r.user_id, 0)
+                if c < req:
+                    per_user[r.user_id] = c + 1
+                    kept.append(r)
+            taken = kept
         completed = failed = missed = 0
         for r in taken:
             r.round = round_id
@@ -147,6 +164,8 @@ class ReferenceSimulator:
                 r.retries += 1
                 r.errors.append(er)
                 failed += 1
+            if r.status == "complete" and self.quota is not None and r.user_id in self.quota:
+                self.quota[r.user_id] -= 1  # decrement-on-complete
         return {
             "round": round_id,
             "selected": len(taken),
