@@ -112,3 +112,19 @@ def test_warc_roundtrip_property(items):
         got = list(parse_warc_stream(open(p, "rb").read()))
     assert [r["url"] for r in got] == [r["url"] for r in rows]
     assert [r["html"] for r in got] == [r["html"] for r in rows]
+
+
+def test_read_warc_permissive_skips_corrupt_tail(spark, tmp_path):
+    """A truncated/garbled segment yields its good prefix records in
+    permissive mode; strict mode fails the job."""
+    import pytest as _pytest
+
+    d = tmp_path / "warcs3"
+    d.mkdir()
+    write_warc_file(_rows(5), str(d / "good.warc"))
+    good = open(str(d / "good.warc"), "rb").read()
+    with open(str(d / "bad.warc"), "wb") as f:
+        f.write(good + b"GARBAGE NOT A RECORD\r\n more garbage")
+    assert read_warc(spark, str(d), permissive=True).count() == 10  # 5 + 5-before-break
+    with _pytest.raises(Exception):
+        read_warc(spark, str(d / "bad.warc"), permissive=False).count()

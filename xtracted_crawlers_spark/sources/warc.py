@@ -81,18 +81,26 @@ def _strip_http_headers(body: bytes) -> bytes:
     return body[sep + 4 :]
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, permissive: bool = True) -> DataFrame:
     """WARC files → pages-shaped DataFrame (text/lang NULL — they come
     from the extraction stage). One task per file; records stream through
-    Arrow batches, bytes never touch the driver."""
+    Arrow batches, bytes never touch the driver.
+
+    permissive=True (the 100k-file default): a file whose stream breaks
+    mid-way (truncated member, bad framing — real crawl dumps have them)
+    yields the records parsed up to the break instead of failing the
+    whole job; permissive=False fails fast for fixture validation."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
-                rows = [
-                    (r["url"], r["warc_ts"], r["html"], None, None)
-                    for r in parse_warc_stream(bytes(content))
-                ]
+                rows = []
+                try:
+                    for r in parse_warc_stream(bytes(content)):
+                        rows.append((r["url"], r["warc_ts"], r["html"], None, None))
+                except (ValueError, OSError, EOFError):
+                    if not permissive:
+                        raise
                 if rows:
                     yield pd.DataFrame(
                         rows, columns=["url", "warc_ts", "html", "text", "lang"]
