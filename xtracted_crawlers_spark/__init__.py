@@ -16,8 +16,11 @@ Layout:
   frontier    frontier schema, seed ingest (A1), reset (B1), seq (F1)
   seen        partitioned bloom filter + exact anti-join dedup (C2)
   scheduler   robots/crawl-delay/token-bucket politeness, top-k (F2)
+  quota       per-user api_requests budgets + derived jobs table (A5)
   crawl       the round driver loop (§3.2)
-  simulator   pure-Python parity oracle for ordering + seen set
+  simulator   pure-Python parity oracle for ordering + seen set + quota
+  sources/    pages parquet/Iceberg reader, WARC reader/writer
+  catalog_iceberg  Iceberg-native catalog (gated on the runtime jar)
   operators/  dedup, similarity, text analysis, multimodal pipeline ops
 """
 

@@ -62,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--job", type=int, help="filter to one job_id")
     j.add_argument("--master", default=None)
 
+    h = sub.add_parser(
+        "history", help="per-round snapshot lineage + metrics from the manifests "
+        "(resume/time-travel evidence; no Spark session needed)"
+    )
+    h.add_argument("--warehouse", required=True)
+    h.add_argument("--table", default="frontier")
+
     u = sub.add_parser(
         "urls", help="URL-level frontier state (the reference's list_crawler_urls/"
         "get_crawler_url service queries, E1/E2) — key filters push down to the scan"
@@ -74,6 +81,25 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "history":  # manifest-only: no Spark session needed
+        from .catalog import ParquetSnapshotCatalog
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        for m in catalog.history(args.table):
+            print(
+                json.dumps(
+                    {
+                        "snapshot_id": m.snapshot_id,
+                        "round_id": m.round_id,
+                        "parent": m.parent_snapshot_id,
+                        "n_files": len(m.files),
+                        "bytes": sum(f.get("bytes", 0) for f in m.files),
+                        **m.metrics,
+                    }
+                )
+            )
+        return 0
 
     from .session import get_spark
 
