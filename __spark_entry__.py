@@ -514,6 +514,98 @@ select doc_id, {concat} as simhash from b
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+# ---------------------------------------------------------------------------
+# link graph (web-corpus quality signals)
+# ---------------------------------------------------------------------------
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM regex out-link extraction over synthesized html (two real links
+    + one fragment link per page), counted per destination host."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    o = _t(spark, sf_dir, "orders")
+    pages = o.select(
+        urlgen.url_from_key(F.col("o_orderkey")).alias("url"),
+        F.concat(
+            F.lit('<p><a href="'),
+            urlgen.url_from_key(F.col("o_orderkey") * 13 + 1),
+            F.lit('">x</a><a href="'),
+            urlgen.url_from_key(F.col("o_orderkey") * 29 + 7),
+            F.lit('">y</a><a href="#frag">n</a></p>'),
+        ).alias("html"),
+    )
+    links = linkgraph.extract_links(pages)
+    return (
+        links.select(urlnorm.host(F.col("dst")).alias("dst_host"))
+        .groupBy("dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+SQL_LINK_EXTRACT = f"""
+with p as (select '<p><a href="' || {sql_url_from_key('o_orderkey * 13 + 1')}
+               || '">x</a><a href="' || {sql_url_from_key('o_orderkey * 29 + 7')}
+               || '">y</a><a href="#frag">n</a></p>' as html
+           from orders),
+l as (select unnest(regexp_extract_all(html, 'href="([^"#]+)"', 1)) as dst from p)
+select lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as dst_host, count(*) as n_links
+from l group by 1
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        urlgen.url_from_key(F.col("l_orderkey")).alias("src"),
+        urlgen.url_from_key(F.col("l_orderkey") * 7 + F.col("l_linenumber")).alias("dst"),
+    )
+
+
+_SQL_EDGES = f"""
+edges as (select {sql_url_from_key('l_orderkey')} as src,
+                 {sql_url_from_key('l_orderkey * 7 + l_linenumber')} as dst
+          from lineitem),
+he as (select lower(regexp_extract(src, {NETLOC_RE_SQL}, 1)) as src_host,
+              lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as dst_host,
+              count(*) as weight
+       from edges group by 1, 2)
+"""
+
+
+def q_link_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    return linkgraph.host_edges(_edges(spark, sf_dir))
+
+
+SQL_LINK_HOST_GRAPH = f"""
+with {_SQL_EDGES}
+select src_host, dst_host, weight from he
+"""
+
+
+def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    return linkgraph.host_degrees(linkgraph.host_edges(_edges(spark, sf_dir)))
+
+
+SQL_LINK_DEGREES = f"""
+with {_SQL_EDGES},
+o as (select src_host as host, count(*) as out_degree,
+             cast(sum(weight) as bigint) as out_weight from he group by 1),
+i as (select dst_host as host, count(*) as in_degree,
+             cast(sum(weight) as bigint) as in_weight from he group by 1)
+select host,
+       coalesce(out_degree, 0) as out_degree,
+       coalesce(in_degree, 0) as in_degree,
+       coalesce(out_weight, 0) as out_weight,
+       coalesce(in_weight, 0) as in_weight
+from o full outer join i using (host)
+"""
+
+
 def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline, end-to-end in one plan:
     exact-dedup (keep canonical doc per fingerprint) → language filter
@@ -1031,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_job_status": q_crawl_job_status,
         # text analysis
         "pipeline_corpus_prep": q_pipeline_corpus_prep,
+        "link_extract": q_link_extract,
+        "link_host_graph": q_link_host_graph,
+        "link_degrees": q_link_degrees,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1075,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_quota": SQL_CRAWL_QUOTA,
         "crawl_job_status": SQL_CRAWL_JOB_STATUS,
         "pipeline_corpus_prep": SQL_PIPELINE_CORPUS_PREP,
+        "link_extract": SQL_LINK_EXTRACT,
+        "link_host_graph": SQL_LINK_HOST_GRAPH,
+        "link_degrees": SQL_LINK_DEGREES,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

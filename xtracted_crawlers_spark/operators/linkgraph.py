@@ -1,0 +1,131 @@
+"""Web link-graph analytics: out-link extraction, host graph, degree
+signals, PageRank.
+
+Large-scale training-data pipelines use link-graph features as document
+quality signals (in-degree / host authority à la Common-Crawl-derived
+corpora); the crawl engine already owns the two inputs — pages (html)
+and the URL canonicalizer — so the graph is a natural derived table.
+
+Scale shape:
+- link extraction is a JVM `regexp_extract_all` + explode — codegen'd,
+  no Python, map-only until the first aggregate;
+- the host graph is one groupBy (src_host, dst_host) with map-side
+  combine; degrees are aggregates of that (already-small) edge table;
+- PageRank is the classic iterative DataFrame loop: contributions =
+  edges ⋈ ranks (shuffle on src), sum per dst (shuffle on dst). Ranks
+  are localCheckpoint()ed every few iterations so the lineage (and the
+  replanning cost) stays O(1) in the iteration count instead of O(n).
+  At web scale the edge table is pre-partitioned by src so the join
+  side of every iteration reuses one partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import urlnorm
+
+# double-quoted href values, fragment-only links excluded. Kept simple on
+# purpose: the same pattern string must behave identically in Spark
+# (Java regex) and DuckDB (RE2) for the oracle.
+HREF_PATTERN = 'href="([^"#]+)"'
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) out-link edges from the raw html — one JVM regex pass,
+    exploded. html may be binary (cast decodes UTF-8) or string."""
+    html_s = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(F.regexp_extract_all(html_s, F.lit(HREF_PATTERN), F.lit(1))).alias("dst"),
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Host-level weighted edge table: (src_host, dst_host, weight).
+    Self-loops kept (intra-host links are a real signal); rows whose
+    endpoint has no parseable host are dropped."""
+    e = links.select(
+        urlnorm.host(F.col("src")).alias("src_host"),
+        urlnorm.host(F.col("dst")).alias("dst_host"),
+    ).filter(
+        F.col("src_host").isNotNull()
+        & F.col("dst_host").isNotNull()
+        & (F.col("src_host") != "")
+        & (F.col("dst_host") != "")
+    )
+    return e.groupBy("src_host", "dst_host").agg(F.count("*").alias("weight"))
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """(host, out_degree, in_degree, out_weight, in_weight) — degree/
+    weight signals per host from the weighted host graph."""
+    out = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").alias("out_degree"), F.sum("weight").alias("out_weight")
+    )
+    inn = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count("*").alias("in_degree"), F.sum("weight").alias("in_weight")
+    )
+    return (
+        out.join(inn, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+            F.coalesce("in_weight", F.lit(0)).alias("in_weight"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over an (unweighted-interpretation) edge table. Returns
+    (node, rank). Dangling nodes contribute no out-mass (their mass
+    leaks, the standard simple variant — document ranking only needs the
+    ordering). rank₀ = 1/N; rankᵢ₊₁ = (1-d)/N + d·Σ contribs.
+
+    Every iteration is two shuffles (join on src, agg on dst); ranks are
+    localCheckpoint()ed every checkpoint_every iterations to keep the
+    plan from growing with the iteration count."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e_deg = e.join(out_deg, "src").cache()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    e_deg.unpersist()
+    return ranks
