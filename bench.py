@@ -34,6 +34,7 @@ HEADLINE = [
     "crawl_fetch_join",
     "crawl_seq_assign",
     "pipeline_corpus_prep",
+    "link_host_graph",
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
