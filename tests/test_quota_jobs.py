@@ -155,6 +155,46 @@ def test_incremental_jobs_equals_full_derive(spark, qcorpus, tmp_path):
     assert committed == derived
 
 
+def test_ingest_into_existing_job_updates_job_totals(spark, tmp_path):
+    """Round-2 advice (medium): a mid-crawl seed ingest into an EXISTING
+    job must update the jobs table's n_total immediately — otherwise the
+    incremental job_status_delta path leaves n_total stale (counters sum
+    beyond total, job flips 'complete' while ingested URLs are pending)."""
+    from xtracted_crawlers_spark.crawl import bootstrap
+
+    pages = fixtures.gen_pages(spark, 10, n_hosts=2, partitions=1)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh_ing"))
+    seeds1 = spark.createDataFrame(
+        [("u", 1, 0, fixtures.page_url(0, 2))],
+        "user_id string, job_id long, seed_idx int, url string",
+    )
+    run_crawl(spark, cat, pages, seeds1, cfg=CrawlConfig(max_rounds=5))
+    j1 = cat.load(spark, QT.JOBS_TABLE).collect()
+    assert len(j1) == 1 and j1[0]["n_total"] == 1 and j1[0]["job_status"] == "complete"
+
+    # ingest a SECOND url into the finished job (bootstrap on an existing
+    # frontier = the mid-crawl ingest path)
+    seeds2 = spark.createDataFrame(
+        [("u", 1, 1, fixtures.page_url(1, 2))],
+        "user_id string, job_id long, seed_idx int, url string",
+    )
+    bootstrap(spark, cat, seeds2)
+    j2 = cat.load(spark, QT.JOBS_TABLE).collect()
+    assert j2[0]["n_total"] == 2, "jobs table must learn the ingested row's total"
+    assert j2[0]["n_complete"] == 1
+    assert j2[0]["job_status"] == "running", "new pending URL must reopen the job"
+
+    # finish the crawl: the incremental path must converge to the full derive
+    run_crawl(spark, cat, pages, cfg=CrawlConfig(max_rounds=5))
+    j3 = {(r["user_id"], r["job_id"]): r for r in cat.load(spark, QT.JOBS_TABLE).collect()}
+    full = {(r["user_id"], r["job_id"]): r for r in QT.job_status(load_frontier(spark, cat)).collect()}
+    for k in full:
+        for c in ("job_status", "n_total", "n_complete", "n_given_up"):
+            assert j3[k][c] == full[k][c], (k, c, j3[k][c], full[k][c])
+    assert j3[("u", 1)]["n_total"] == 2 and j3[("u", 1)]["n_complete"] == 2
+    assert j3[("u", 1)]["job_status"] == "complete"
+
+
 def test_quota_parity_engine_vs_simulator(spark, qcorpus, tmp_path):
     """Engine with per-user quota must reach the same final frontier
     state AND the same remaining budgets as the pure-Python simulator."""

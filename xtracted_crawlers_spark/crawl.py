@@ -140,12 +140,24 @@ def bootstrap(
     new_rows = FR.ingest_seeds(seeds, existing, priority=priority, round_id=0)
     full = existing.unionByName(new_rows) if existing is not None else new_rows
     n_new = new_rows.count()
-    return catalog.commit(
+    sid = catalog.commit(
         full,
         FRONTIER_TABLE,
         round_id=0,
         metrics={"event": "bootstrap", "new_urls": n_new, "kind": "base"},
     )
+    # a mid-crawl bootstrap adds pending rows to possibly-EXISTING jobs;
+    # the jobs table must learn the new n_total NOW or the per-round
+    # incremental job_status_delta goes stale (it only counts rows a round
+    # touched — round-2 advice, medium)
+    if n_new > 0 and catalog.exists(QT.JOBS_TABLE):
+        catalog.commit(
+            QT.jobs_apply_ingest(catalog.load(spark, QT.JOBS_TABLE), new_rows),
+            QT.JOBS_TABLE,
+            round_id=0,
+            metrics={"event": "bootstrap_ingest", "new_urls": n_new},
+        )
+    return sid
 
 
 def _merge_updates(

@@ -108,6 +108,39 @@ def job_status(frontier: DataFrame) -> DataFrame:
     )
 
 
+def jobs_apply_ingest(prev_jobs: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """Jobs-table update for a seed INGEST (bootstrap into an existing
+    frontier, or a streaming seed batch): every ingested row is a NEW
+    pending key (ingest_seeds anti-joins the existing frontier), so the
+    exact update is n_total += per-job ingest count, completion counters
+    unchanged, and job_status recomputed — a job that was 'complete' flips
+    back to 'running' when new URLs arrive.
+
+    Without this, the incremental job_status_delta path silently corrupts
+    the jobs table: delta only counts rows the ROUND touched, so a
+    mid-crawl ingest into an existing job leaves n_total stale —
+    n_complete+n_given_up can exceed n_total and job_status can read
+    'complete' while ingested URLs are still pending (round-2 advice,
+    medium). Cost: one aggregate over the (small) ingest batch + a
+    broadcast outer merge into the one-row-per-job table — never a
+    frontier scan."""
+    d = new_rows.groupBy("user_id", "job_id").agg(F.count("*").alias("_n_new"))
+    merged = prev_jobs.join(F.broadcast(d), ["user_id", "job_id"], "full_outer")
+    n_total = F.coalesce(F.col("n_total"), F.lit(0)) + F.coalesce(F.col("_n_new"), F.lit(0))
+    n_complete = F.coalesce(F.col("n_complete"), F.lit(0))
+    n_given_up = F.coalesce(F.col("n_given_up"), F.lit(0))
+    open_rows = n_total - n_complete - n_given_up
+    return merged.select(
+        "user_id",
+        "job_id",
+        F.when(open_rows > 0, F.lit(RUNNING)).otherwise(F.lit(COMPLETE)).alias("job_status"),
+        n_total.alias("n_total"),
+        n_complete.alias("n_complete"),
+        n_given_up.alias("n_given_up"),
+        F.col("last_fetched_round"),
+    )
+
+
 def job_status_delta(
     prev_jobs: DataFrame, updated: DataFrame, round_id: int
 ) -> Optional[DataFrame]:

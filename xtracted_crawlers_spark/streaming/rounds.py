@@ -80,6 +80,19 @@ def stream_seed_ingest(
                 round_id=state["round"],
                 metrics={"event": "stream_ingest", "batch_id": batch_id, "kind": "delta"},
             )
+        # keep the jobs table's n_total in sync with the ingest — without
+        # this the incremental job_status_delta path never learns about
+        # rows added to an EXISTING job and its counters go stale
+        # (round-2 advice, medium)
+        from .. import quota as QT
+
+        if catalog.exists(QT.JOBS_TABLE):
+            catalog.commit(
+                QT.jobs_apply_ingest(catalog.load(spark, QT.JOBS_TABLE), new_rows),
+                QT.JOBS_TABLE,
+                round_id=state["round"],
+                metrics={"event": "stream_ingest_jobs", "batch_id": batch_id},
+            )
         state["round"] += 1
         run_round(spark, catalog, pages, state["round"], cfg, rules)
 
