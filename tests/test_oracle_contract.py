@@ -27,25 +27,33 @@ def ddb(sf_dir):
     return con
 
 
-def _norm(v):
-    # EXACT equality, floats included: both engines compute rounded
-    # doubles from identical inputs, so even the bits must match (this
-    # mirrors the driver's value-hash, which tolerates no fuzz).
-    #
-    # DTYPE-STRICT: the comparison key carries the Python type, so
-    # 1301 (Spark long) vs 1301.0 (DuckDB HUGEINT→float) FAILS here the
-    # way it fails the driver's dtype-sensitive value-hash. This exact
-    # class (sum() dtype drift) caused the only red CORRECTNESS row in
-    # BOTH round 1 (events_sessionize) and round 2 (pipeline_corpus_prep)
-    # while the old value-only compare passed locally.
-    if isinstance(v, float) and math.isnan(v):
-        return ("float", "NaN")
-    return (type(v).__name__, v)
+def _frame_rows(pdf):
+    """Canonical (dtype-kind, value) row tuples from a PANDAS frame.
 
+    DTYPE-STRICT through the driver's own path: the driver value-hashes
+    pandas frames (spark .toPandas() vs duckdb .df()), so the mirror must
+    compare what PANDAS sees, not raw fetchall() values —
+    - DuckDB HUGEINT (sum of bigint) → float64 in pandas, vs Spark long →
+      int64: kind 'f' vs 'i' FAILS here the way it failed the driver in
+      rounds 1 and 2 (events_sessionize, pipeline_corpus_prep), while raw
+      fetchall() returns a Python int that a value compare can't catch;
+    - DuckDB DECIMAL → float64 ≡ Spark double: passes, as in the driver
+      (a typed fetchall() compare false-alarms on Decimal('1.00') vs 1.0).
+    """
+    import pandas as pd
 
-def _rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    cols = sorted(pdf.columns)
+    kinds = ["i" if pdf[c].dtype.kind == "u" else pdf[c].dtype.kind for c in cols]
+    rows = []
+    for tup in pdf[cols].itertuples(index=False, name=None):
+        row = []
+        for k, v in zip(kinds, tup):
+            if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+                row.append((k, "NA"))
+            else:
+                row.append((k, v))
+        rows.append(tuple(row))
+    return sorted(rows, key=repr)
 
 
 ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
@@ -53,23 +61,37 @@ ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
-    qdf = entrymod.queries()[name](spark, sf_dir)
-    spark_cols = qdf.columns
-    spark_rows = [tuple(r) for r in qdf.collect()]
+    spdf = entrymod.queries()[name](spark, sf_dir).toPandas()
+    ddf = ddb.sql(entrymod.oracle_sql()[name]).df()
 
-    res = ddb.sql(entrymod.oracle_sql()[name])
-    duck_cols = [c for c in res.columns]
-    duck_rows = res.fetchall()
-
-    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    assert sorted(spdf.columns) == sorted(ddf.columns), f"{name}: column names differ"
+    assert len(spdf) == len(ddf), (
+        f"{name}: row count {len(spdf)} vs oracle {len(ddf)}"
     )
-    a = _rowset(spark_cols, spark_rows)
-    b = _rowset(duck_cols, duck_rows)
+    a = _frame_rows(spdf)
+    b = _frame_rows(ddf)
     if a != b:
         diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
-        raise AssertionError(f"{name}: values differ, first diffs: {diff}")
+        raise AssertionError(f"{name}: values/dtypes differ, first diffs: {diff}")
+
+
+def test_mirror_is_dtype_strict():
+    """The exact bug class behind the only red driver row in rounds 1 AND
+    2: DuckDB sum(bigint) returns HUGEINT → float64 in pandas, Spark
+    returns long → int64. The mirror must fail on it locally (the old
+    value-only compare said 1301 == 1301.0) and pass once the oracle
+    casts the sum to bigint."""
+    import pandas as pd
+
+    spark_like = pd.DataFrame({"s": pd.Series([1301], dtype="int64")})
+    hug = duckdb.sql("select sum(x) as s from (select 1301::bigint as x)").df()
+    cast = duckdb.sql(
+        "select cast(sum(x) as bigint) as s from (select 1301::bigint as x)"
+    ).df()
+    assert _frame_rows(hug) != _frame_rows(spark_like), (
+        "mirror failed to flag the HUGEINT→float64 dtype drift"
+    )
+    assert _frame_rows(cast) == _frame_rows(spark_like)
 
 
 def test_rows_only_queries_run(spark, sf_dir):
