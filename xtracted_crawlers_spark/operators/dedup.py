@@ -69,8 +69,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+ALL_PAIRS_GUARD_ROWS = 100_000
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: Optional[int] = None
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+    guard_rows: Optional[int] = ALL_PAIRS_GUARD_ROWS,
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for pairs sharing ≥1 shingle.
     Output (doc_a < doc_b, jaccard rounded 4dp).
@@ -82,7 +89,19 @@ def ngram_jaccard_pairs(
     frequency > max_df are dropped from BOTH the intersection and the set
     sizes (equivalent to stop-shingle removal before comparing — near-dup
     signal lives in the rare shingles, boilerplate carries none).
-    max_df=None keeps the exact semantics (the oracle baseline)."""
+    max_df=None keeps the exact semantics (the oracle baseline) — and is
+    therefore REFUSED above guard_rows input rows (round-2 verdict missing
+    #4): use max_df, minhash_lsh_pairs, or guard_rows=None explicitly."""
+    if max_df is None and guard_rows is not None:
+        n_docs = docs.count()
+        if n_docs > guard_rows:
+            raise ValueError(
+                f"unguarded exact-Jaccard refused: {n_docs} docs > guard_rows="
+                f"{guard_rows} and max_df is None (a single boilerplate shingle "
+                f"makes the self-join O(df²)). Set max_df (stop-shingle cut), "
+                f"use dedup.minhash_lsh_pairs (bucketed production path), or "
+                f"pass guard_rows=None to force the exact baseline."
+            )
     sh = shingles_df(docs, n)
     if max_df is not None:
         keep = (
