@@ -148,6 +148,31 @@ def test_pagerank_matches_reference_impl(spark):
     assert max(got, key=got.get) == "c"
 
 
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches the lineage cut to a RELIABLE checkpoint
+    (survives executor loss on a real cluster); results must stay
+    bit-parity with the pure-Python reference."""
+    import os
+
+    edges_py = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("b", "d"),
+    ]
+    edges = spark.createDataFrame(edges_py, "src_host string, dst_host string")
+    ckpt = str(tmp_path / "pr_ckpt")
+    got = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            edges, iters=12, checkpoint_every=4, checkpoint_dir=ckpt
+        ).collect()
+    }
+    want = _pagerank_py(edges_py, iters=12)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # the reliable checkpoint actually wrote to the directory
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "checkpoint_dir was never written — checkpoint() not used"
+
+
 def test_pagerank_plan_bounded_by_checkpoint(spark):
     """localCheckpoint must keep the iterative plan from growing without
     bound — the 20-iteration plan must not embed 20 joins."""
