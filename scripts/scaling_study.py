@@ -34,6 +34,56 @@ sys.path.insert(0, REPO)
 
 REPS = int(os.environ.get("SCALE_REPS", "2"))
 
+# fork-shared corpus for the kernel-ceiling measurement (set in
+# kernel_ceiling; children inherit via fork, no pickling)
+_PAGES: list = []
+
+
+def _ceil_work(bounds: tuple) -> int:
+    from xtracted_crawlers_spark.extract import extract_one
+
+    lo, hi = bounds
+    for i in range(lo, hi):
+        u, h = _PAGES[i]
+        extract_one(u, h)
+    return hi - lo
+
+
+def kernel_ceiling(cpus: int, cache: str) -> float:
+    """Max urls/s the HOST can extract at this cpuset width, running the
+    EXACT per-row kernel (extract_one) under plain multiprocessing — no
+    JVM, no Arrow, no scheduler. This is the honest normalization ceiling
+    for the engine's scaling numbers: an integer burn loop scales
+    differently under SMT than the regex/string kernel (ALU-bound vs
+    memory/branch-bound), so burn overstates what THIS workload can get
+    from 8→32 virtual cores. Runs inside the tasksetted level subprocess,
+    so it sees the same cpuset as the engine measurement."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    global _PAGES
+    tbl = pq.read_table(cache, columns=["url", "html"])
+    urls = tbl.column("url").to_pylist()
+    htmls = tbl.column("html").to_pylist()
+    _PAGES = [
+        (u, h.decode("utf-8", "replace") if isinstance(h, bytes) else h)
+        for u, h in zip(urls, htmls)
+    ]
+    n = len(_PAGES)
+    bounds = [(i * n // cpus, (i + 1) * n // cpus) for i in range(cpus)]
+    warm = [(lo, min(lo + 1000, hi)) for lo, hi in bounds]
+    ctx = mp.get_context("fork")
+    best = 0.0
+    with ctx.Pool(cpus) as p:
+        p.map(_ceil_work, warm)
+        for _ in range(REPS):
+            t0 = time.time()
+            p.map(_ceil_work, bounds)
+            best = max(best, n / (time.time() - t0))
+    _PAGES = []
+    return best
+
 
 def measure(cpus: int, n_pages: int) -> dict:
     from pyspark.sql import functions as F
@@ -44,14 +94,24 @@ def measure(cpus: int, n_pages: int) -> dict:
     from xtracted_crawlers_spark.session import get_spark
 
     cache = f"/tmp/xcs_bench_cache/pages_n{n_pages}.parquet"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        # one-time corpus generation in a throwaway session, stopped so the
+        # kernel-ceiling fork pool below never shares the box with a JVM
+        gen = get_spark(app_name=f"gen-{cpus}", master=f"local[{cpus}]")
+        gen.sparkContext.setLogLevel("ERROR")
+        fixtures.gen_pages(gen, n_pages, n_hosts=200, zipf=2.0).write.mode(
+            "overwrite"
+        ).parquet(cache)
+        gen.stop()
+    ceiling = kernel_ceiling(cpus, cache)
     spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        fixtures.gen_pages(spark, n_pages, n_hosts=200, zipf=2.0).write.mode(
-            "overwrite"
-        ).parquet(cache)
-    pages = spark.read.parquet(cache).repartition(4 * cpus).cache()
+    # ONE partition per core for the extraction stage: measured +33%
+    # throughput at 32 cores vs 4x oversplit (per-task Arrow stream setup
+    # + scheduling overhead dominates small tasks; round-robin
+    # repartition is even, so stragglers are bounded by host jitter only)
+    pages = spark.read.parquet(cache).repartition(cpus).cache()
     n = pages.count()
     _ = with_extraction(pages.limit(8 * cpus).repartition(2 * cpus)).count()
 
@@ -87,6 +147,7 @@ def measure(cpus: int, n_pages: int) -> dict:
         "extract_urls_per_sec": round(n / extract_best, 1),
         "minhash_sec": round(shuffle_best, 3),
         "minhash_docs_per_sec": round(n_docs / shuffle_best, 1),
+        "kernel_ceiling_urls_per_sec": round(ceiling, 1),
     }
 
 
@@ -152,6 +213,7 @@ def main() -> None:
     for c in (2, 8, 32):
         med_e, best_e = stat(c, "extract_urls_per_sec")
         med_m, best_m = stat(c, "minhash_docs_per_sec")
+        med_c, best_c = stat(c, "kernel_ceiling_urls_per_sec")
         levels[c] = {
             "cpus": c,
             "n_pages": runs[c][0]["n_pages"],
@@ -159,26 +221,42 @@ def main() -> None:
             "extract_urls_per_sec_best": best_e,
             "minhash_docs_per_sec_median": med_m,
             "minhash_docs_per_sec_best": best_m,
+            "kernel_ceiling_urls_per_sec_median": med_c,
+            "kernel_ceiling_urls_per_sec_best": best_c,
+            "engine_fraction_of_kernel_ceiling": round(med_e / med_c, 3),
         }
 
     def eff(a: int, b: int, key: str) -> float:
         return round((levels[b][key] / levels[a][key]) / (b / a), 3)
 
+    ckey = "kernel_ceiling_urls_per_sec_median"
+
     def eff_norm(a: int, b: int, key: str) -> float:
+        """Engine speedup normalized to the SAME-KERNEL multiprocessing
+        ceiling (what the host delivers for this exact workload at each
+        cpuset width) — the honest bound; no engine can beat it."""
+        host = levels[b][ckey] / levels[a][ckey]
+        return round((levels[b][key] / levels[a][key]) / host, 3)
+
+    def eff_norm_burn(a: int, b: int, key: str) -> float:
         machine = ceil[b] / ceil[a]
         return round((levels[b][key] / levels[a][key]) / machine, 3)
 
     ekey, mkey = "extract_urls_per_sec_median", "minhash_docs_per_sec_median"
     result = {
-        "machine_python_ceiling_ops_per_sec": ceil,
+        "machine_python_burn_ceiling_ops_per_sec": ceil,
         "passes": passes,
         "levels": levels,
         "eff_2_to_8_extract_median_raw": eff(2, 8, ekey),
         "eff_2_to_8_extract_best_raw": eff(2, 8, "extract_urls_per_sec_best"),
-        "eff_2_to_8_extract_machine_normalized": eff_norm(2, 8, ekey),
+        "eff_2_to_8_extract_kernel_normalized": eff_norm(2, 8, ekey),
+        "eff_2_to_8_extract_burn_normalized": eff_norm_burn(2, 8, ekey),
         "eff_8_to_32_extract_median_raw": eff(8, 32, ekey),
         "eff_8_to_32_extract_best_raw": eff(8, 32, "extract_urls_per_sec_best"),
-        "eff_8_to_32_extract_machine_normalized": eff_norm(8, 32, ekey),
+        "eff_8_to_32_extract_kernel_normalized": eff_norm(8, 32, ekey),
+        "eff_8_to_32_extract_burn_normalized": eff_norm_burn(8, 32, ekey),
+        "host_kernel_eff_2_to_8": round(levels[8][ckey] / levels[2][ckey] / 4, 3),
+        "host_kernel_eff_8_to_32": round(levels[32][ckey] / levels[8][ckey] / 4, 3),
         "eff_2_to_8_minhash_median_raw": eff(2, 8, mkey),
         "eff_8_to_32_minhash_median_raw": eff(8, 32, mkey),
     }
@@ -200,19 +278,29 @@ pool, best of {REPS} reps per pass, {passes} interleaved passes.
 deliverable CPU swings between windows; best-of is reported only as
 secondary context). Full-column materialization is forced with a
 checksum aggregate so Catalyst cannot prune the measured work.
+The extraction stage uses ONE partition per core (round-3 change,
+measured +33% at 32 cores vs 4x oversplit — per-task Arrow/scheduling
+overhead dominates small tasks).
 
-**Host reality check** — 32 virtual cores whose aggregate throughput
-scales sub-linearly under load (host contention / frequency scaling). A
-pure-Python burn ceiling (multiprocessing, no Spark) measures what ANY
-Python workload can extract from this box:
-2 procs {ceil[2]:.2e} ops/s · 8 procs {ceil[8]:.2e} · 32 procs {ceil[32]:.2e}
-⇒ the machine itself delivers {round(ceil[8]/ceil[2],2)}x from 2→8
-({round(ceil[8]/ceil[2]/4,2)} "efficiency") and {round(ceil[32]/ceil[8],2)}x
-from 8→32 ({round(ceil[32]/ceil[8]/4,2)}).
+**Host reality check** — the normalization ceiling is the SAME per-row
+kernel (extract_one) under plain multiprocessing inside the same
+cpuset: no JVM, no Arrow, no scheduler — the most any engine could
+deliver for this workload on this box. (An integer burn loop is also
+reported; it overstates SMT headroom for this regex/string kernel.)
+Kernel ceiling (median urls/s):
+2 cores {L[2]["kernel_ceiling_urls_per_sec_median"]} · 8 cores
+{L[8]["kernel_ceiling_urls_per_sec_median"]} · 32 cores
+{L[32]["kernel_ceiling_urls_per_sec_median"]}
+⇒ the HOST itself delivers {result["host_kernel_eff_2_to_8"]} efficiency
+2→8 and {result["host_kernel_eff_8_to_32"]} from 8→32 for this kernel
+(32 virtual cores share 16 physical ones).
+Burn ceiling (ops/s): 2p {ceil[2]:.2e} · 8p {ceil[8]:.2e} · 32p {ceil[32]:.2e}.
 
 | job (median / best) | local[2] | local[8] | local[32] |
 |---|---|---|---|
 | fetch+extract (urls/s) | {L[2]['extract_urls_per_sec_median']} / {L[2]['extract_urls_per_sec_best']} | {L[8]['extract_urls_per_sec_median']} / {L[8]['extract_urls_per_sec_best']} | {L[32]['extract_urls_per_sec_median']} / {L[32]['extract_urls_per_sec_best']} |
+| kernel ceiling (urls/s) | {L[2]['kernel_ceiling_urls_per_sec_median']} / {L[2]['kernel_ceiling_urls_per_sec_best']} | {L[8]['kernel_ceiling_urls_per_sec_median']} / {L[8]['kernel_ceiling_urls_per_sec_best']} | {L[32]['kernel_ceiling_urls_per_sec_median']} / {L[32]['kernel_ceiling_urls_per_sec_best']} |
+| engine / ceiling | {L[2]['engine_fraction_of_kernel_ceiling']} | {L[8]['engine_fraction_of_kernel_ceiling']} | {L[32]['engine_fraction_of_kernel_ceiling']} |
 | minhash signatures (docs/s) | {L[2]['minhash_docs_per_sec_median']} / {L[2]['minhash_docs_per_sec_best']} | {L[8]['minhash_docs_per_sec_median']} / {L[8]['minhash_docs_per_sec_best']} | {L[32]['minhash_docs_per_sec_median']} / {L[32]['minhash_docs_per_sec_best']} |
 
 | criterion (target >= 0.8, RAW MEDIAN is the verdict) | value | verdict |
@@ -221,16 +309,18 @@ from 8→32 ({round(ceil[32]/ceil[8]/4,2)}).
 | extract efficiency 8 -> 32 raw median | **{raw_8_32}** | {verdict_8_32} |
 | extract efficiency N=2 -> 4N=8 raw best-of | {result['eff_2_to_8_extract_best_raw']} | context |
 | extract efficiency 8 -> 32 raw best-of | {result['eff_8_to_32_extract_best_raw']} | context |
-| extract 2 -> 8 normalized to machine ceiling | {result['eff_2_to_8_extract_machine_normalized']} | context |
-| extract 8 -> 32 normalized to machine ceiling | {result['eff_8_to_32_extract_machine_normalized']} | context |
+| extract 2 -> 8 normalized to same-kernel ceiling | {result['eff_2_to_8_extract_kernel_normalized']} | context |
+| extract 8 -> 32 normalized to same-kernel ceiling | {result['eff_8_to_32_extract_kernel_normalized']} | context |
+| extract 8 -> 32 normalized to burn ceiling | {result['eff_8_to_32_extract_burn_normalized']} | context |
 | minhash efficiency 2 -> 8 raw median | {result['eff_2_to_8_minhash_median_raw']} | {"MET" if result['eff_2_to_8_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
 | minhash efficiency 8 -> 32 raw median | {result['eff_8_to_32_minhash_median_raw']} | {"MET" if result['eff_8_to_32_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
 
-The machine-normalized figures are CONTEXT, not the verdict: they bound
-how much of the shortfall is host contention vs engine overhead. When a
-raw-median row says NOT MET, the target is unmet on this host — on a
-real 1000-executor cluster the equivalent evidence is N vs 4N executors
-with no shared-core contention.
+The kernel-normalized figures are CONTEXT, not the verdict: they bound
+how much of any shortfall is the host's SMT/contention vs engine
+overhead. When a raw-median row says NOT MET, the target is unmet on
+this host — on a real 1000-executor cluster the equivalent evidence is
+N vs 4N executors with no shared-core contention, where the kernel
+ceiling scales ~linearly and the raw and normalized numbers converge.
 
 Raw JSON: `{json.dumps(result)}`
 
