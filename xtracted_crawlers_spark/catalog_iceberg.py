@@ -138,7 +138,17 @@ class IcebergSnapshotCatalog:
         """Row-level MERGE INTO: the Iceberg-native replacement for the
         parquet catalog's delta-commit + merge-on-read read path. One
         round's touched rows upsert in place; the table's bucket layout
-        keeps the merge shuffle-free on the base side."""
+        keeps the merge shuffle-free on the base side.
+
+        METRICS CAVEAT (round-2 advice): SQL MERGE cannot attach snapshot
+        SUMMARY properties from PySpark — Iceberg's CommitMetadata
+        .withCommitProperties is a JVM-only API and the
+        `snapshot-property.*` write options only exist on DataFrame
+        writes (the commit() path above, which history() reads back).
+        The merge path therefore stamps round metrics as TABLE properties
+        keyed by round_id (`round.<id>.<key>`, never overwritten), and
+        `history()` will NOT show metrics for merge snapshots; read them
+        via SHOW TBLPROPERTIES / round_metrics() instead."""
         qual = self._qual(table)
         updated.createOrReplaceTempView("_xcs_round_updates")
         on = " and ".join(f"t.{k} = s.{k}" for k in KEY)
@@ -151,10 +161,25 @@ class IcebergSnapshotCatalog:
             when not matched then insert *
             """
         )
-        # stamp the metrics on the merge snapshot
+        # table-level per-round metric properties (see docstring caveat:
+        # snapshot-summary stamping is not reachable from PySpark SQL
+        # MERGE). Keyed by round so earlier rounds are never overwritten.
         sid = self.latest_snapshot(table) or 0
+        rid = round_id if round_id is not None else sid
         for k, v in self._props(round_id, metrics).items():
             self.spark.sql(
-                f"alter table {qual} set tblproperties ('last.{k}' = '{v}')"
+                f"alter table {qual} set tblproperties ('round.{rid}.{k}' = '{v}')"
             )
         return sid
+
+    def round_metrics(self, table: str = "frontier") -> dict[int, dict[str, str]]:
+        """Per-round metrics stamped by merge_round, read back from table
+        properties (the merge path's replacement for snapshot-summary
+        metrics)."""
+        rows = self.spark.sql(f"show tblproperties {self._qual(table)}").collect()
+        out: dict[int, dict[str, str]] = {}
+        for r in rows:
+            parts = r["key"].split(".", 2)
+            if len(parts) == 3 and parts[0] == "round" and parts[1].isdigit():
+                out.setdefault(int(parts[1]), {})[parts[2]] = r["value"]
+        return out
