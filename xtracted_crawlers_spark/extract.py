@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import re
+from functools import lru_cache
 from html import unescape
 from html.parser import HTMLParser
 from typing import Any, Optional
@@ -200,13 +201,21 @@ class _BulletParser(HTMLParser):
 
 
 _LI_OPEN_RE = re.compile(r"(?i)<li\b[^>]*>")
+_LI_CLOSE_RE = re.compile(r"(?i)</li")
+_UL_OPEN_RE = re.compile(r"(?i)<ul\b")
+_TAG_NAME_RE = re.compile(r"<\s*([a-zA-Z][a-zA-Z0-9]*)")
 _INNER_TAG_RE = re.compile(r"<[^>]*>")
+
+
+@lru_cache(maxsize=64)
+def _tag_token_re(tag: str) -> "re.Pattern[str]":
+    return re.compile(rf"(?i)<(/?){re.escape(tag)}\b")
 
 
 def _balanced_element_end(html: str, start: int, tag: str) -> int:
     """End index (exclusive) of the element whose open tag starts at
     ``start``, by counting same-name open/close tags. -1 if unbalanced."""
-    token = re.compile(rf"(?i)<(/?){re.escape(tag)}\b")
+    token = _tag_token_re(tag)
     depth = 0
     for m in token.finditer(html, start):
         if m.group(1):
@@ -229,7 +238,7 @@ def extract_feature_bullets(html: str) -> list[str]:
         if i < 0:
             return []
     start = html.rfind("<", 0, i)
-    tag_m = re.match(r"<\s*([a-zA-Z][a-zA-Z0-9]*)", html[start:])
+    tag_m = _TAG_NAME_RE.match(html, start)
     region_end = (
         _balanced_element_end(html, start, tag_m.group(1)) if tag_m else -1
     )
@@ -240,17 +249,17 @@ def extract_feature_bullets(html: str) -> list[str]:
     # ul sub-regions inside the element, then leaf li items inside each
     pos = 0
     while True:
-        um = re.search(r"(?i)<ul\b", region[pos:])
+        um = _UL_OPEN_RE.search(region, pos)
         if not um:
             break
-        ul_start = pos + um.start()
+        ul_start = um.start()
         ul_end = _balanced_element_end(region, ul_start, "ul")
         if ul_end < 0:
             return _bullets_htmlparser(html, start)
         ul_region = region[ul_start:ul_end]
         parts = _LI_OPEN_RE.split(ul_region)[1:]
         for p in parts:
-            p = re.split(r"(?i)</li", p, 1)[0]
+            p = _LI_CLOSE_RE.split(p, 1)[0]
             text = unescape(_INNER_TAG_RE.sub("", p)).strip()
             if text:
                 bullets.append(text)
@@ -282,6 +291,8 @@ _TWISTER_KEYS = (
     "dimensionsDisplay",
     "dimensionValuesDisplayData",
 )
+_TWISTER_KEY_RES = {k: re.compile(r'"%s"\s*:' % re.escape(k)) for k in _TWISTER_KEYS}
+_JSON_DECODER = json.JSONDecoder()
 
 
 def _balanced_json_value(s: str, start: int) -> Optional[str]:
@@ -348,19 +359,24 @@ def extract_twister_matrix(html: str) -> dict[str, Any]:
     if blob_start < 0:
         blob_start = max(0, anchor - 2_000_000)
     brace = html.find("{", blob_start)
-    blob = _balanced_json_value(html, brace)
-    if blob is not None:
+    # valid-JSON fast path: raw_decode parses one value starting at the
+    # brace in C, replacing the Python char-by-char balanced scan + a
+    # second json.loads pass. A valid blob yields the identical dict (a
+    # balanced-scan span of valid JSON IS the raw_decode span); anything
+    # invalid raises and falls through to the original scan + per-key path.
+    if brace >= 0:
         try:
-            parsed = json.loads(blob)
+            parsed, _ = _JSON_DECODER.raw_decode(html, brace)
             if isinstance(parsed, dict):
                 return parsed
-        except (json.JSONDecodeError, ValueError):
+        except ValueError:
             pass
+    blob = _balanced_json_value(html, brace)
     # per-key fallback over the blob region
     region = blob if blob is not None else html[blob_start : anchor + 2_000_000]
     out: dict[str, Any] = {}
     for key in _TWISTER_KEYS:
-        m = re.search(r'"%s"\s*:' % re.escape(key), region)
+        m = _TWISTER_KEY_RES[key].search(region)
         if not m:
             continue
         raw = _balanced_json_value(region, m.end())
