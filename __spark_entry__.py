@@ -664,6 +664,22 @@ from o full outer join i using (host)
 """
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthesized host graph — ROWS-ONLY contract
+    entry (no oracle_sql twin): rank is an iterative double sum whose
+    accumulation order is not reproducible bit-exact across engines, so
+    the value-level check lives in tests/test_linkgraph.py (1e-9 parity
+    vs a pure-Python reference and a reliable-checkpoint variant). The
+    driver records row count + schema, which are deterministic (one row
+    per host). Ranks are rounded for a stable display schema only."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    pr = linkgraph.pagerank(
+        linkgraph.host_edges(_edges(spark, sf_dir)), iters=5
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank_6dp"))
+
+
 def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline, end-to-end in one plan:
     exact-dedup (keep canonical doc per fingerprint) → language filter
@@ -1195,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resolve": q_link_resolve,
         "link_host_graph": q_link_host_graph,
         "link_degrees": q_link_degrees,
+        "link_pagerank": q_link_pagerank,  # rows-only: no oracle (see docstring)
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
