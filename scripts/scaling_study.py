@@ -139,6 +139,39 @@ def measure(cpus: int, n_pages: int) -> dict:
         sig.agg(F.count("*"), F.max(F.xxhash64(F.concat_ws("", "sig")))).first()
         shuffle_best = min(shuffle_best, time.time() - t0)
 
+    # the FULL crawl loop — the north_rule's actual scaling subject:
+    # selection window + politeness budgets + fetch join + extraction +
+    # seen/anti-join + snapshot commits + quota/jobs bookkeeping. Smaller
+    # slice than the extract stage (the loop is several jobs per round)
+    # so the cpus=2 level stays tractable.
+    import shutil as _sh
+
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, run_crawl
+
+    n_seeds = 40_000
+    crawl_pages = pages.filter(F.col("page_id") < 120_000).cache()
+    crawl_pages.count()
+    seeds = fixtures.gen_seeds(spark, 120_000, n_seeds, n_hosts=200).cache()
+    seeds.count()
+    crawl_best = 1e9
+    crawled = 0
+    for _rep in range(REPS):
+        wh = f"/tmp/xcs_scale_wh_{cpus}_{_rep}"
+        _sh.rmtree(wh, ignore_errors=True)
+        cat = ParquetSnapshotCatalog(wh)
+        t0 = time.time()
+        ms = run_crawl(
+            spark, cat, crawl_pages, seeds,
+            cfg=CrawlConfig(max_rounds=2, global_budget=n_seeds),
+        )
+        crawl_best = min(crawl_best, time.time() - t0)
+        crawled = sum(
+            m.get("completed", 0) + m.get("extract_failed", 0) + m.get("fetch_missed", 0)
+            for m in ms
+        )
+        _sh.rmtree(wh, ignore_errors=True)
+
     spark.stop()
     return {
         "cpus": cpus,
@@ -147,6 +180,8 @@ def measure(cpus: int, n_pages: int) -> dict:
         "extract_urls_per_sec": round(n / extract_best, 1),
         "minhash_sec": round(shuffle_best, 3),
         "minhash_docs_per_sec": round(n_docs / shuffle_best, 1),
+        "crawl_sec": round(crawl_best, 3),
+        "crawl_urls_per_sec": round(crawled / crawl_best, 1),
         "kernel_ceiling_urls_per_sec": round(ceiling, 1),
     }
 
@@ -184,7 +219,7 @@ def run_level(cpus: int, n_pages: int) -> dict:
 
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -213,6 +248,7 @@ def main() -> None:
     for c in (2, 8, 32):
         med_e, best_e = stat(c, "extract_urls_per_sec")
         med_m, best_m = stat(c, "minhash_docs_per_sec")
+        med_w, best_w = stat(c, "crawl_urls_per_sec")
         med_c, best_c = stat(c, "kernel_ceiling_urls_per_sec")
         levels[c] = {
             "cpus": c,
@@ -221,6 +257,8 @@ def main() -> None:
             "extract_urls_per_sec_best": best_e,
             "minhash_docs_per_sec_median": med_m,
             "minhash_docs_per_sec_best": best_m,
+            "crawl_urls_per_sec_median": med_w,
+            "crawl_urls_per_sec_best": best_w,
             "kernel_ceiling_urls_per_sec_median": med_c,
             "kernel_ceiling_urls_per_sec_best": best_c,
             "engine_fraction_of_kernel_ceiling": round(med_e / med_c, 3),
@@ -259,6 +297,8 @@ def main() -> None:
         "host_kernel_eff_8_to_32": round(levels[32][ckey] / levels[8][ckey] / 4, 3),
         "eff_2_to_8_minhash_median_raw": eff(2, 8, mkey),
         "eff_8_to_32_minhash_median_raw": eff(8, 32, mkey),
+        "eff_2_to_8_crawl_median_raw": eff(2, 8, "crawl_urls_per_sec_median"),
+        "eff_8_to_32_crawl_median_raw": eff(8, 32, "crawl_urls_per_sec_median"),
     }
     print(json.dumps(result))
 
@@ -302,6 +342,7 @@ Burn ceiling (ops/s): 2p {ceil[2]:.2e} · 8p {ceil[8]:.2e} · 32p {ceil[32]:.2e}
 | kernel ceiling (urls/s) | {L[2]['kernel_ceiling_urls_per_sec_median']} / {L[2]['kernel_ceiling_urls_per_sec_best']} | {L[8]['kernel_ceiling_urls_per_sec_median']} / {L[8]['kernel_ceiling_urls_per_sec_best']} | {L[32]['kernel_ceiling_urls_per_sec_median']} / {L[32]['kernel_ceiling_urls_per_sec_best']} |
 | engine / ceiling | {L[2]['engine_fraction_of_kernel_ceiling']} | {L[8]['engine_fraction_of_kernel_ceiling']} | {L[32]['engine_fraction_of_kernel_ceiling']} |
 | minhash signatures (docs/s) | {L[2]['minhash_docs_per_sec_median']} / {L[2]['minhash_docs_per_sec_best']} | {L[8]['minhash_docs_per_sec_median']} / {L[8]['minhash_docs_per_sec_best']} | {L[32]['minhash_docs_per_sec_median']} / {L[32]['minhash_docs_per_sec_best']} |
+| FULL crawl loop (urls/s; rounds+politeness+commits+bookkeeping) | {L[2]['crawl_urls_per_sec_median']} / {L[2]['crawl_urls_per_sec_best']} | {L[8]['crawl_urls_per_sec_median']} / {L[8]['crawl_urls_per_sec_best']} | {L[32]['crawl_urls_per_sec_median']} / {L[32]['crawl_urls_per_sec_best']} |
 
 | criterion (target >= 0.8, RAW MEDIAN is the verdict) | value | verdict |
 |---|---|---|
@@ -314,6 +355,8 @@ Burn ceiling (ops/s): 2p {ceil[2]:.2e} · 8p {ceil[8]:.2e} · 32p {ceil[32]:.2e}
 | extract 8 -> 32 normalized to burn ceiling | {result['eff_8_to_32_extract_burn_normalized']} | context |
 | minhash efficiency 2 -> 8 raw median | {result['eff_2_to_8_minhash_median_raw']} | {"MET" if result['eff_2_to_8_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
 | minhash efficiency 8 -> 32 raw median | {result['eff_8_to_32_minhash_median_raw']} | {"MET" if result['eff_8_to_32_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
+| FULL crawl loop 2 -> 8 raw median | {result['eff_2_to_8_crawl_median_raw']} | {"MET" if result['eff_2_to_8_crawl_median_raw'] >= 0.8 else "NOT MET raw"} |
+| FULL crawl loop 8 -> 32 raw median | {result['eff_8_to_32_crawl_median_raw']} | {"MET" if result['eff_8_to_32_crawl_median_raw'] >= 0.8 else "NOT MET raw"} |
 
 The kernel-normalized figures are CONTEXT, not the verdict: they bound
 how much of any shortfall is the host's SMT/contention vs engine
