@@ -304,11 +304,44 @@ def main() -> None:
         "eff_2_to_8_crawl_median_raw": eff(2, 8, "crawl_urls_per_sec_median"),
         "eff_8_to_32_crawl_median_raw": eff(8, 32, "crawl_urls_per_sec_median"),
     }
+
+    # PER-PASS efficiencies: the three levels of one pass run minutes
+    # apart, so a slow host window hits them near-uniformly and cancels
+    # in the ratio; ratios of cross-pass medians do NOT cancel (a slow
+    # window during only the 8-core runs of pass 2 skews every ratio
+    # that touches the 8-core median). Median-of-per-pass-ratios is the
+    # robust primary; the cross-pass-median ratios above are kept for
+    # continuity with rounds 1-3.
+    import statistics as _st
+
+    def per_pass(metric: str) -> dict:
+        e28 = [
+            round(runs[8][p][metric] / runs[2][p][metric] / 4, 3)
+            for p in range(passes)
+        ]
+        e832 = [
+            round(runs[32][p][metric] / runs[8][p][metric] / 4, 3)
+            for p in range(passes)
+        ]
+        return {
+            "eff_2_to_8_per_pass": e28,
+            "eff_2_to_8_median": round(_st.median(e28), 3),
+            "eff_8_to_32_per_pass": e832,
+            "eff_8_to_32_median": round(_st.median(e832), 3),
+        }
+
+    result["per_pass_eff"] = {
+        "extract": per_pass("extract_urls_per_sec"),
+        "minhash": per_pass("minhash_docs_per_sec"),
+        "crawl": per_pass("crawl_urls_per_sec"),
+        "kernel_ceiling": per_pass("kernel_ceiling_urls_per_sec"),
+    }
     print(json.dumps(result))
 
     L = levels
-    raw_2_8 = result["eff_2_to_8_extract_median_raw"]
-    raw_8_32 = result["eff_8_to_32_extract_median_raw"]
+    PP = result["per_pass_eff"]
+    raw_2_8 = PP["extract"]["eff_2_to_8_median"]
+    raw_8_32 = PP["extract"]["eff_8_to_32_median"]
     verdict_2_8 = "MET" if raw_2_8 >= 0.8 else "NOT MET raw"
     verdict_8_32 = "MET" if raw_8_32 >= 0.8 else "NOT MET raw"
     md = f"""# BENCH — throughput & scaling evidence
@@ -348,19 +381,27 @@ Burn ceiling (ops/s): 2p {ceil[2]:.2e} · 8p {ceil[8]:.2e} · 32p {ceil[32]:.2e}
 | minhash signatures (docs/s) | {L[2]['minhash_docs_per_sec_median']} / {L[2]['minhash_docs_per_sec_best']} | {L[8]['minhash_docs_per_sec_median']} / {L[8]['minhash_docs_per_sec_best']} | {L[32]['minhash_docs_per_sec_median']} / {L[32]['minhash_docs_per_sec_best']} |
 | FULL crawl loop (urls/s; rounds+politeness+commits+bookkeeping) | {L[2]['crawl_urls_per_sec_median']} / {L[2]['crawl_urls_per_sec_best']} | {L[8]['crawl_urls_per_sec_median']} / {L[8]['crawl_urls_per_sec_best']} | {L[32]['crawl_urls_per_sec_median']} / {L[32]['crawl_urls_per_sec_best']} |
 
-| criterion (target >= 0.8, RAW MEDIAN is the verdict) | value | verdict |
+The VERDICT statistic is the median of PER-PASS raw efficiencies: each
+pass measures all three levels minutes apart, so a slow host window
+cancels in the within-pass ratio (ratios of cross-pass medians do not
+cancel and are kept below as context/continuity with earlier rounds).
+Per-pass extract effs — 2→8: {PP['extract']['eff_2_to_8_per_pass']},
+8→32: {PP['extract']['eff_8_to_32_per_pass']}; kernel-ceiling (the
+host's own scaling, same statistic) — 2→8:
+{PP['kernel_ceiling']['eff_2_to_8_per_pass']}, 8→32:
+{PP['kernel_ceiling']['eff_8_to_32_per_pass']}.
+
+| criterion (target >= 0.8, PER-PASS RAW MEDIAN is the verdict) | value | verdict |
 |---|---|---|
-| extract efficiency N=2 -> 4N=8 raw median | **{raw_2_8}** | {verdict_2_8} |
-| extract efficiency 8 -> 32 raw median | **{raw_8_32}** | {verdict_8_32} |
-| extract efficiency N=2 -> 4N=8 raw best-of | {result['eff_2_to_8_extract_best_raw']} | context |
-| extract efficiency 8 -> 32 raw best-of | {result['eff_8_to_32_extract_best_raw']} | context |
-| extract 2 -> 8 normalized to same-kernel ceiling | {result['eff_2_to_8_extract_kernel_normalized']} | context |
-| extract 8 -> 32 normalized to same-kernel ceiling | {result['eff_8_to_32_extract_kernel_normalized']} | context |
-| extract 8 -> 32 normalized to burn ceiling | {result['eff_8_to_32_extract_burn_normalized']} | context |
-| minhash efficiency 2 -> 8 raw median | {result['eff_2_to_8_minhash_median_raw']} | {"MET" if result['eff_2_to_8_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
-| minhash efficiency 8 -> 32 raw median | {result['eff_8_to_32_minhash_median_raw']} | {"MET" if result['eff_8_to_32_minhash_median_raw'] >= 0.8 else "NOT MET raw"} |
-| FULL crawl loop 2 -> 8 raw median | {result['eff_2_to_8_crawl_median_raw']} | {"MET" if result['eff_2_to_8_crawl_median_raw'] >= 0.8 else "NOT MET raw"} |
-| FULL crawl loop 8 -> 32 raw median | {result['eff_8_to_32_crawl_median_raw']} | {"MET" if result['eff_8_to_32_crawl_median_raw'] >= 0.8 else "NOT MET raw"} |
+| extract efficiency N=2 -> 4N=8 raw | **{raw_2_8}** | {verdict_2_8} |
+| extract efficiency 8 -> 32 raw | **{raw_8_32}** | {verdict_8_32} |
+| minhash efficiency 2 -> 8 raw | {PP['minhash']['eff_2_to_8_median']} | {"MET" if PP['minhash']['eff_2_to_8_median'] >= 0.8 else "NOT MET raw"} |
+| minhash efficiency 8 -> 32 raw | {PP['minhash']['eff_8_to_32_median']} | {"MET" if PP['minhash']['eff_8_to_32_median'] >= 0.8 else "NOT MET raw"} |
+| FULL crawl loop 2 -> 8 raw | {PP['crawl']['eff_2_to_8_median']} | {"MET" if PP['crawl']['eff_2_to_8_median'] >= 0.8 else "NOT MET raw"} |
+| FULL crawl loop 8 -> 32 raw | {PP['crawl']['eff_8_to_32_median']} | {"MET" if PP['crawl']['eff_8_to_32_median'] >= 0.8 else "NOT MET raw"} |
+| host kernel ceiling 2 -> 8 / 8 -> 32 (per-pass median) | {PP['kernel_ceiling']['eff_2_to_8_median']} / {PP['kernel_ceiling']['eff_8_to_32_median']} | host bound |
+| extract 2 -> 8 / 8 -> 32, cross-pass-median ratio | {result['eff_2_to_8_extract_median_raw']} / {result['eff_8_to_32_extract_median_raw']} | context |
+| extract 2 -> 8 / 8 -> 32 normalized to same-kernel ceiling | {result['eff_2_to_8_extract_kernel_normalized']} / {result['eff_8_to_32_extract_kernel_normalized']} | context |
 
 The kernel-normalized figures are CONTEXT, not the verdict: they bound
 how much of any shortfall is the host's SMT/contention vs engine
