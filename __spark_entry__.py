@@ -134,9 +134,12 @@ from events
 
 
 def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no broadcast hint: the frontier side scales with the dataset — the
+    # engine's own fetch join gates its hint on a counted size
+    # (crawl.py fetch_join); AQE broadcasts at runtime iff actually small
     frontier = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey").select("url")
     pages = urlgen.urls_from(_t(spark, sf_dir, "lineitem"), "l_orderkey").select("url").distinct()
-    hits = F.broadcast(frontier).join(pages, "url")
+    hits = frontier.join(pages, "url")
     return (
         hits.select(urlnorm.host("url").alias("host"))
         .groupBy("host")
@@ -817,7 +820,9 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with the dataset (a filtered dim, not a bounded
+        # table) — no broadcast hint; AQE broadcasts it when it is small
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
         .agg(
             # exact decimal aggregate, cast to double WITHOUT rounding:
@@ -1173,9 +1178,8 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 500).alias("join_key"), "text"
     )
-    fetched = sched.withColumn("join_key", F.col("k") % 500).join(
-        F.broadcast(docs), "join_key"
-    )
+    # docs is corpus-sized — never hint a broadcast on it; AQE decides
+    fetched = sched.withColumn("join_key", F.col("k") % 500).join(docs, "join_key")
     return (
         fetched.select(
             "host",

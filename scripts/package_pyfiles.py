@@ -26,7 +26,7 @@ def build(out_path: str) -> str:
     src_root = os.path.join(REPO, PKG)
     # ZIP_STORED + fixed timestamps: the artifact content is a pure
     # function of the sources (reproducible builds diff cleanly)
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as zf:
         for dirpath, dirnames, filenames in os.walk(src_root):
             dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
             for fn in sorted(filenames):
@@ -35,7 +35,7 @@ def build(out_path: str) -> str:
                 full = os.path.join(dirpath, fn)
                 arc = os.path.relpath(full, REPO)
                 info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
-                info.compress_type = zipfile.ZIP_DEFLATED
+                info.compress_type = zipfile.ZIP_STORED
                 with open(full, "rb") as f:
                     zf.writestr(info, f.read())
     return out_path

@@ -164,3 +164,30 @@ def test_bloom_merge(spark):
     merged = seen.merge_bloom(bloom, new.select("user_id", "job_id", "url_id"), n_buckets=4)
     flagged = seen.bloom_maybe_seen(new.select("user_id", "job_id", "url_id", "url"), merged, n_buckets=4)
     assert all(r["maybe_seen"] for r in flagged.collect())  # no false negatives post-merge
+
+
+def test_effective_config_clamps_to_finite_robots_budget(spark):
+    """round-3 advice: the literal max_host_budget must never under-cut a
+    FINITE robots-derived budget; unbounded hosts keep the literal cap."""
+    from xtracted_crawlers_spark.crawl import CrawlConfig, effective_config
+
+    robots = spark.createDataFrame(
+        [
+            ("fast.test", "User-agent: *\nCrawl-delay: 0.01", None, None),  # 6000/round
+            ("open.test", "User-agent: *\n", None, None),  # unbounded
+        ],
+        "host string, robots_txt string, crawl_delay_s double, max_tokens int",
+    )
+    rules = scheduler.robots_rules(robots)
+    cfg = effective_config(CrawlConfig(round_seconds=60.0), rules)
+    assert cfg.max_host_budget == 6000  # floor(60/0.01); unbounded host ignored
+
+    slow = spark.createDataFrame(
+        [("slow.test", "User-agent: *\nCrawl-delay: 10", None, None)],
+        "host string, robots_txt string, crawl_delay_s double, max_tokens int",
+    )
+    cfg2 = effective_config(CrawlConfig(round_seconds=60.0), scheduler.robots_rules(slow))
+    assert cfg2.max_host_budget == 1000  # finite budgets below the cap: unchanged
+
+    assert effective_config(CrawlConfig(max_host_budget=None), rules).max_host_budget is None
+    assert effective_config(CrawlConfig(), None).max_host_budget == 1000

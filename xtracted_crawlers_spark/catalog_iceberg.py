@@ -167,8 +167,11 @@ class IcebergSnapshotCatalog:
         sid = self.latest_snapshot(table) or 0
         rid = round_id if round_id is not None else sid
         for k, v in self._props(round_id, metrics).items():
+            # single-quote-escape both sides: the API accepts arbitrary
+            # metric dicts, and an unescaped quote breaks the statement
+            ek, ev = str(k).replace("'", "''"), str(v).replace("'", "''")
             self.spark.sql(
-                f"alter table {qual} set tblproperties ('round.{rid}.{k}' = '{v}')"
+                f"alter table {qual} set tblproperties ('round.{rid}.{ek}' = '{ev}')"
             )
         return sid
 

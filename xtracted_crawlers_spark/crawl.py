@@ -27,7 +27,7 @@ Physical shape per round (local[N] now, 1000 executors later):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,7 +56,11 @@ class CrawlConfig:
     # (default 1000) or Catalyst skips the group-limit rewrite. 1000
     # rows/host/round is still ~16 req/s against ONE host for a 60 s
     # round — far above any polite crawl rate; set None to restore the
-    # unbounded window explicitly.
+    # unbounded window explicitly. When robots rules derive a FINITE
+    # per-host budget above this cap, run_crawl raises the cap to honor
+    # it (clamp computed once per crawl, not per round) — the cap only
+    # ever defers hosts whose robots budget is unbounded; see
+    # effective_config().
     max_host_budget: Optional[int] = 1_000
     max_rounds: int = 100
     expand_variants: bool = False  # reference plumbing exists but is unused; flag-gated
@@ -430,6 +434,28 @@ def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
     ]
 
 
+def effective_config(cfg: CrawlConfig, rules: Optional[DataFrame]) -> CrawlConfig:
+    """Clamp the literal per-host rank cap so it never under-cuts a
+    FINITE robots-derived budget (round-3 advice): a host whose robots
+    rules grant e.g. floor(60/0.001)=60,000 rows/round must get them even
+    though the scale-safety literal defaults to 1,000. Unbounded budgets
+    (no crawl-delay, huge max_tokens) keep the literal cap — for those
+    the cap is a pure deferral, rows stay pending for the next round.
+    One tiny-aggregate action per CRAWL (rules are one row per host),
+    not per round. A raised cap above
+    spark.sql.optimizer.windowGroupLimitThreshold loses the
+    WindowGroupLimit rewrite — correctness over the optimization."""
+    if rules is None or cfg.max_host_budget is None:
+        return cfg
+    # two unbounded sentinels exist: 2**62 (no crawl-delay) and 2**31-1
+    # (robots_rules' max_tokens default) — both mean "no finite budget"
+    finite = F.when(F.col("budget") < 2**31 - 1, F.col("budget"))
+    mb = scheduler.host_budgets(rules, cfg.round_seconds).agg(F.max(finite)).first()[0]
+    if mb is not None and int(mb) > cfg.max_host_budget:
+        return replace(cfg, max_host_budget=int(mb))
+    return cfg
+
+
 def run_crawl(
     spark: SparkSession,
     catalog: ParquetSnapshotCatalog,
@@ -448,6 +474,7 @@ def run_crawl(
     rules = scheduler.robots_rules(robots) if robots is not None else None
     if rules is not None:
         rules = rules.cache()
+    cfg = effective_config(cfg, rules)
     if seeds is not None and not catalog.exists(FRONTIER_TABLE):
         bootstrap(spark, catalog, seeds)
     if quota is not None and not catalog.exists(QT.QUOTA_TABLE):

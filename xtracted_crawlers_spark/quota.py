@@ -122,10 +122,12 @@ def jobs_apply_ingest(prev_jobs: DataFrame, new_rows: DataFrame) -> DataFrame:
     n_complete+n_given_up can exceed n_total and job_status can read
     'complete' while ingested URLs are still pending (round-2 advice,
     medium). Cost: one aggregate over the (small) ingest batch + a
-    broadcast outer merge into the one-row-per-job table — never a
-    frontier scan."""
+    full-outer merge into the one-row-per-job table — never a frontier
+    scan. (No broadcast hint: broadcast-hash join does not support full
+    outer, so Spark would silently fall back to sort-merge anyway; both
+    sides are one-row-per-job tiny, so that is fine.)"""
     d = new_rows.groupBy("user_id", "job_id").agg(F.count("*").alias("_n_new"))
-    merged = prev_jobs.join(F.broadcast(d), ["user_id", "job_id"], "full_outer")
+    merged = prev_jobs.join(d, ["user_id", "job_id"], "full_outer")
     n_total = F.coalesce(F.col("n_total"), F.lit(0)) + F.coalesce(F.col("_n_new"), F.lit(0))
     n_complete = F.coalesce(F.col("n_complete"), F.lit(0))
     n_given_up = F.coalesce(F.col("n_given_up"), F.lit(0))
