@@ -667,20 +667,65 @@ from o full outer join i using (host)
 """
 
 
+_PAGERANK_ITERS = 5
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the synthesized host graph — ROWS-ONLY contract
-    entry (no oracle_sql twin): rank is an iterative double sum whose
-    accumulation order is not reproducible bit-exact across engines, so
-    the value-level check lives in tests/test_linkgraph.py (1e-9 parity
-    vs a pure-Python reference and a reliable-checkpoint variant). The
-    driver records row count + schema, which are deterministic (one row
-    per host). Ranks are rounded for a stable display schema only."""
+    """PageRank over the synthesized host graph — HASH-EXACT oracle since
+    round 4: exact_fold=True makes every per-node contribution sum a
+    deterministic left fold in src order, so the iterated double
+    arithmetic is bit-reproducible and the DuckDB twin (an unrolled
+    fixed-iteration CTE chain summing via list_dot_product against a
+    ones vector — the ANN oracles' proven-bit-exact fold) matches the
+    raw unrounded doubles. Value-level convergence checks vs a
+    pure-Python reference stay in tests/test_linkgraph.py."""
     from xtracted_crawlers_spark.operators import linkgraph
 
-    pr = linkgraph.pagerank(
-        linkgraph.host_edges(_edges(spark, sf_dir)), iters=5
+    return linkgraph.pagerank(
+        linkgraph.host_edges(_edges(spark, sf_dir)),
+        iters=_PAGERANK_ITERS,
+        exact_fold=True,
     )
-    return pr.select("node", F.round("rank", 6).alias("rank_6dp"))
+
+
+def _sql_link_pagerank(iters: int = _PAGERANK_ITERS, damping: str = "0.85") -> str:
+    """Unrolled fixed-iteration PageRank CTE chain, mirroring
+    linkgraph.pagerank(..., exact_fold=True) bit-exactly:
+    - rank0 = 1.0/n (IEEE double division, identical both engines);
+    - each contribution = rank/deg (double division);
+    - per-node sum = left fold in src order: Spark
+      F.aggregate(array_sort(collect_list(struct(src, c))), 0.0, +) ≡
+      DuckDB list_dot_product(list(c order by src), list(1.0 ...))
+      (c*1.0 is bit-identical to c; fold order proven by sim_ann_*);
+    - update = (1.0-d)/n + d*coalesce(sum, 0.0), constant-folded to the
+      same doubles in both engines."""
+    parts = [
+        f"with {_SQL_EDGES},",
+        "e as (select src_host as src, dst_host as dst from he),",
+        "nodes as (select src as node from e union select dst as node from e),",
+        "cnt as (select cast(count(*) as double) as n from nodes),",
+        "deg as (select src, cast(count(*) as double) as deg from e group by 1),",
+        "r0 as (select node, (select 1.0 / n from cnt) as rank from nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} as (select e.dst as node,\n"
+            f"  list_dot_product(list(r.rank / d.deg order by e.src),\n"
+            f"                   list(1.0 order by e.src)) as s\n"
+            f"  from e join deg d using (src) join r{i-1} r on r.node = e.src\n"
+            f"  group by e.dst),"
+        )
+        parts.append(
+            f"r{i} as (select n.node,\n"
+            f"  (1.0 - {damping}) / c.n + {damping} * coalesce(s{i}.s, 0.0) as rank\n"
+            f"  from nodes n cross join cnt c left join s{i} on s{i}.node = n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"select node, rank from r{iters}")
+    return "\n".join(parts)
+
+
+SQL_LINK_PAGERANK = _sql_link_pagerank()
 
 
 def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,7 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resolve": q_link_resolve,
         "link_host_graph": q_link_host_graph,
         "link_degrees": q_link_degrees,
-        "link_pagerank": q_link_pagerank,  # rows-only: no oracle (see docstring)
+        "link_pagerank": q_link_pagerank,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1264,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "link_resolve": SQL_LINK_RESOLVE,
         "link_host_graph": SQL_LINK_HOST_GRAPH,
         "link_degrees": SQL_LINK_DEGREES,
+        "link_pagerank": SQL_LINK_PAGERANK,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

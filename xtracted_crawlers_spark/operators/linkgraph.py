@@ -134,6 +134,7 @@ def pagerank(
     dst_col: str = "dst_host",
     checkpoint_every: int = 4,
     checkpoint_dir: str | None = None,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """PageRank over an (unweighted-interpretation) edge table. Returns
     (node, rank). Dangling nodes contribute no out-mass (their mass
@@ -147,7 +148,19 @@ def pagerank(
     real cluster an executor loss mid-iteration then recovers from
     storage; the default localCheckpoint stores blocks on executors,
     which is fine on local[N] but lossy under executor failure (round-2
-    verdict missing #3)."""
+    verdict missing #3).
+
+    exact_fold=True makes each per-node contribution sum a DETERMINISTIC
+    left fold in src order (collect the in-neighbor contributions, sort,
+    F.aggregate) instead of F.sum, whose accumulation order depends on
+    partitioning. Ranks are then bit-reproducible across runs AND
+    mirrorable by an external engine folding in the same order — which is
+    what the driver's hash-exact DuckDB oracle checks (the oracle sums
+    via list_dot_product against a ones vector, proven ≡ the Spark left
+    fold by the ANN oracles). Cost: one collect_list per node per
+    iteration — each list is a node's in-degree, so a mega-in-degree hub
+    concentrates one task; keep the default F.sum (partial-combine, no
+    list) for production runs and exact_fold for verification."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
@@ -162,12 +175,26 @@ def pagerank(
     e_deg = e.join(out_deg, "src").cache()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
-        contribs = (
+        contrib_rows = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("_sum"))
+            .select(
+                F.col("dst").alias("node"),
+                F.col("src"),
+                (F.col("rank") / F.col("_deg")).alias("c"),
+            )
         )
+        if exact_fold:
+            # deterministic left fold in src order (src is unique per dst
+            # group: edges are distinct pairs)
+            contribs = contrib_rows.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("_sum")
+            )
+        else:
+            contribs = contrib_rows.groupBy("node").agg(F.sum("c").alias("_sum"))
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
