@@ -187,3 +187,106 @@ def test_pagerank_plan_bounded_by_checkpoint(spark):
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 16, plan[:2000]
     total = sum(r["rank"] for r in ranks.collect())
     assert 0.5 < total <= 1.0 + 1e-6  # mass bounded (dangling leak allowed)
+
+
+def test_resolution_matches_urljoin_enumerated(spark):
+    """Round-3 verdict missing #4: dot segments + the full resolution
+    matrix, checked against urllib.parse.urljoin over an enumerated
+    base × ref grid (deterministic fuzz: every combination, one job).
+    Deliberate deviation NOT generated here: same-scheme-prefixed
+    relative refs ('http:foo'), where urljoin keeps a legacy merge and
+    RFC 3986 strict (and this engine) keeps the ref verbatim."""
+    from urllib.parse import urljoin
+
+    bases = []
+    for scheme in ("http", "https"):
+        for path in ("", "/", "/a", "/a/", "/a/b.html", "/a/b/c", "/a/../b/c", "/a/./b/"):
+            for q in ("", "?ref=x"):
+                bases.append(f"{scheme}://h{len(bases) % 5}.test{path}{q}")
+    dsts = [
+        "https://abs.test/x", "http://abs.test/a/../b",
+        "//other.test/p", "//other.test/a/../b",
+        "/r", "/r/", "/a/../b", "/../x", "/./x", "/a/b/../../../c",
+        "x", "x/y.html", "./x", "../x", "../../x", "../../../../x",
+        "a/./b", "a/../b", "..", ".", "./", "../", "x/..", "x/.",
+        "?p=2", "?x=/a/../b",
+        "sub/page.html?q=1",
+    ]
+    rows = sorted({(b, d) for b in bases for d in dsts})
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {(r["src"], i): r["dst"] for i, r in enumerate(linkgraph.resolve_links(df).orderBy("src", "dst").collect())}
+    # compare unordered per (src): build multisets keyed by src
+    from collections import Counter
+
+    got_c: dict = {}
+    for (s, _), d in got.items():
+        got_c.setdefault(s, Counter())[d] += 1
+    want_c: dict = {}
+    for b, d in rows:
+        want_c.setdefault(b, Counter())[urljoin(b, d)] += 1
+    mismatches = []
+    for b in want_c:
+        if got_c.get(b) != want_c[b]:
+            only_got = set(got_c.get(b, Counter())) - set(want_c[b])
+            only_want = set(want_c[b]) - set(got_c.get(b, Counter()))
+            mismatches.append((b, sorted(only_got), sorted(only_want)))
+    assert not mismatches, mismatches[:5]
+
+
+def test_base_href_redirects_resolution(spark):
+    """HTML <base href> (round-3 verdict missing #4): relative links
+    resolve against the page's effective base — the first <base href>,
+    itself resolved against the page URL."""
+    html = (
+        '<base href="/assets/v2/"><a href="x.html">a</a><a href="../y">b</a>'
+        '<a href="/root">c</a><a href="https://abs.test/z">d</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://shop.test/dp/item?ref=1", html)], "url string, html string"
+    )
+    got = sorted(r["dst"] for r in linkgraph.extract_links(pages).collect())
+    assert got == sorted(
+        [
+            "https://shop.test/assets/v2/",  # the base tag's own href (attribute-level regex)
+            "https://shop.test/assets/v2/x.html",
+            "https://shop.test/assets/y",
+            "https://shop.test/root",
+            "https://abs.test/z",
+        ]
+    )
+    # absolute base: relative links leave the page's host entirely
+    html2 = '<base href="https://cdn.other.org/lib/"><a href="app.js">j</a>'
+    pages2 = spark.createDataFrame(
+        [("https://shop.test/dp/item", html2)], "url string, html string"
+    )
+    got2 = sorted(r["dst"] for r in linkgraph.extract_links(pages2).collect())
+    assert got2 == ["https://cdn.other.org/lib/", "https://cdn.other.org/lib/app.js"]
+
+
+def test_dot_segments_query_survives(spark):
+    """Dot-segment removal must touch the PATH only: '..' inside a query
+    string survives verbatim."""
+    df = spark.createDataFrame(
+        [("https://h.test/a/b/", "c/../d.html?next=/a/../b#frag")], "src string, dst string"
+    )
+    # resolve_links operates post-fragment-strip in extract_links; here the
+    # raw dst keeps its fragment, which belongs to the query/rest slice
+    got = linkgraph.resolve_links(df).collect()[0]["dst"]
+    assert got == "https://h.test/a/b/d.html?next=/a/../b#frag"
+
+
+def test_pagerank_exact_fold_matches_default(spark):
+    """exact_fold changes only the accumulation ORDER of per-node sums —
+    ranks must agree with the default F.sum path to float tolerance and
+    with the pure-Python reference."""
+    edges_py = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("b", "d"),
+    ]
+    edges = spark.createDataFrame(edges_py, "src_host string, dst_host string")
+    got = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(edges, iters=12, exact_fold=True).collect()
+    }
+    want = _pagerank_py(edges_py, iters=12)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
