@@ -28,7 +28,7 @@ import os
 import shutil
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -106,12 +106,20 @@ class ParquetSnapshotCatalog:
         table: str,
         round_id: Optional[int] = None,
         metrics: Optional[dict[str, Any]] = None,
+        metrics_cb: Optional[Callable[[], dict[str, Any]]] = None,
     ) -> int:
         """Write df as the next snapshot of table; atomic manifest publish.
 
         The parquet write happens first (to a snapshot-private dir no
         reader looks at), then the manifest rename makes it visible. A
         failure before the rename leaves the previous snapshot current.
+
+        metrics_cb, when given, is called AFTER the data write and its
+        dict is merged into the manifest metrics — this is how observe()-
+        fused metrics land in the commit record: the write action itself
+        computes them (df.observe upstream), so the caller never pays a
+        separate aggregate pass + action just to have the numbers ready
+        before the write.
         """
         parent = self.latest_snapshot(table)
         sid = (parent + 1) if parent is not None else 0
@@ -119,6 +127,8 @@ class ParquetSnapshotCatalog:
         if os.path.exists(data_path):  # leftover from a crashed attempt
             shutil.rmtree(data_path)
         df.write.mode("overwrite").parquet(data_path)
+        if metrics_cb is not None:
+            metrics = {**(metrics or {}), **metrics_cb()}
 
         files = [
             {"file": fn, "bytes": os.path.getsize(os.path.join(data_path, fn))}

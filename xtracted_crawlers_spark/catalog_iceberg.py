@@ -113,10 +113,17 @@ class IcebergSnapshotCatalog:
         table: str,
         round_id: Optional[int] = None,
         metrics: Optional[dict[str, Any]] = None,
+        metrics_cb: Optional[Any] = None,
     ) -> int:
         """Full-table snapshot commit (bootstrap / compaction / small
         derived tables). The frontier is bucketed by url_id so MERGE and
-        the fetch join are storage-partitioned."""
+        the fetch join are storage-partitioned.
+
+        metrics_cb (observe()-fused metrics, see ParquetSnapshotCatalog.
+        commit) cannot reach the snapshot-property options — those are
+        set before the write — so its values are stamped as round-keyed
+        TBLPROPERTIES after the write, the same mechanism merge_round
+        uses (and with the same history() caveat)."""
         qual = self._qual(table)
         w = df.writeTo(qual)
         for k, v in self._props(round_id, metrics).items():
@@ -126,7 +133,15 @@ class IcebergSnapshotCatalog:
 
             w = w.partitionedBy(bucket(self.frontier_buckets, col("url_id")))
         w.using("iceberg").createOrReplace()  # atomic snapshot swap
-        return self.latest_snapshot(table) or 0
+        sid = self.latest_snapshot(table) or 0
+        if metrics_cb is not None:
+            rid = round_id if round_id is not None else sid
+            for k, v in metrics_cb().items():
+                ek, ev = str(k).replace("'", "''"), str(v).replace("'", "''")
+                self.spark.sql(
+                    f"alter table {qual} set tblproperties ('round.{rid}.{ek}' = '{ev}')"
+                )
+        return sid
 
     def merge_round(
         self,

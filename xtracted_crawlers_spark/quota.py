@@ -143,6 +143,67 @@ def jobs_apply_ingest(prev_jobs: DataFrame, new_rows: DataFrame) -> DataFrame:
     )
 
 
+def round_touch_agg(touched: DataFrame, prev_jobs: Optional[DataFrame] = None) -> DataFrame:
+    """ONE tiny aggregate of a round's touched rows that feeds BOTH
+    bookkeeping tables: (user_id, job_id, _d_complete, _d_given_up)
+    [+ _known when prev_jobs is given: null marks a job the jobs table
+    has never seen — readable via an Observation riding whichever write
+    materializes this frame, so detecting the full-derive fallback case
+    costs no extra action]. The quota decrement is the per-user sum of
+    _d_complete; the jobs delta merges the per-job counters. Before this
+    the two tables each re-scanned the round's delta (round-3 verdict
+    wrong #2 area: per-round fixed cost)."""
+    given_up = (F.col("status") != COMPLETE) & (F.col("retries") >= MAX_RETRIES)
+    agg = touched.groupBy("user_id", "job_id").agg(
+        F.count(F.when(F.col("status") == COMPLETE, 1)).alias("_d_complete"),
+        F.count(F.when(given_up, 1)).alias("_d_given_up"),
+    )
+    if prev_jobs is None:
+        return agg
+    known = prev_jobs.select("user_id", "job_id", F.lit(True).alias("_known"))
+    return agg.join(F.broadcast(known), ["user_id", "job_id"], "left")
+
+
+def decrement_quota_from_agg(quota: DataFrame, tagg: DataFrame) -> DataFrame:
+    """decrement_quota, fed from round_touch_agg instead of raw completed
+    rows: requests -= the user's summed per-job completions."""
+    per_user = tagg.groupBy("user_id").agg(F.sum("_d_complete").alias("_n_done"))
+    return (
+        quota.join(F.broadcast(per_user), "user_id", "left")
+        .withColumn(
+            "requests",
+            (F.col("requests") - F.coalesce(F.col("_n_done"), F.lit(0))).cast("long"),
+        )
+        .drop("_n_done")
+    )
+
+
+def job_status_delta_from_agg(
+    prev_jobs: DataFrame, tagg: DataFrame, round_id: int
+) -> DataFrame:
+    """job_status_delta, fed from round_touch_agg. The caller must have
+    established (via the _known observation or its own check) that every
+    job in tagg exists in prev_jobs — unseen jobs require the full
+    derive, exactly as in job_status_delta."""
+    d = tagg.select("user_id", "job_id", "_d_complete", "_d_given_up")
+    merged = prev_jobs.join(F.broadcast(d), ["user_id", "job_id"], "left")
+    touched = F.col("_d_complete").isNotNull()
+    n_complete = F.col("n_complete") + F.coalesce(F.col("_d_complete"), F.lit(0))
+    n_given_up = F.col("n_given_up") + F.coalesce(F.col("_d_given_up"), F.lit(0))
+    open_rows = F.col("n_total") - n_complete - n_given_up
+    return merged.select(
+        "user_id",
+        "job_id",
+        F.when(open_rows > 0, F.lit(RUNNING)).otherwise(F.lit(COMPLETE)).alias("job_status"),
+        "n_total",
+        n_complete.alias("n_complete"),
+        n_given_up.alias("n_given_up"),
+        F.when(touched, F.lit(round_id).cast("int"))
+        .otherwise(F.col("last_fetched_round"))
+        .alias("last_fetched_round"),
+    )
+
+
 def job_status_delta(
     prev_jobs: DataFrame, updated: DataFrame, round_id: int
 ) -> Optional[DataFrame]:
