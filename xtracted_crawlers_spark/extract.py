@@ -493,6 +493,287 @@ def extract_one(url: str, html: str) -> tuple[Optional[str], Optional[str], Opti
 
 
 # ---------------------------------------------------------------------------
+# Pre-sliced kernel (JVM cuts bytes into Python; round-3 verdict #4)
+# ---------------------------------------------------------------------------
+# The full-html kernel ships the whole page through Arrow and re-scans it
+# in Python. But the payload only ever reads three bounded regions (the
+# #averageCustomerReviews tag, the #feature-bullets element, the twister
+# blob) and the text pipeline's first three regex passes (script/comment/
+# tag removal) are pure Java-regex-expressible. So this path slices
+# JVM-side and Python receives ~KBs per row (slices + de-tagged text)
+# instead of the full page.
+#
+# MEASURED RESULT (round 4, this sandbox): the sliced path is SLOWER
+# than the full kernel on BOTH corpus shapes — 86k vs 179k urls/s on the
+# 1.2 KB synthetic bench pages and ~35 vs ~45 urls/s on the 2.3 MB real
+# reference pages (interleaved A/B, 32 cores). Root cause: every Spark
+# string expression (regexp_extract / instr / substr / regexp_replace)
+# converts the UTF8String input to a java.lang.String PER INVOCATION —
+# the ~8 slicing expressions re-decode and copy the page ~8x (observed
+# as GCLocker alloc stalls on MB pages), which costs more than the
+# Arrow transfer + Python scan they avoid; Arrow moves MB/row in
+# microseconds, so bytes-into-Python was not the binding constraint.
+# with_extraction therefore DEFAULTS to the full kernel; the sliced
+# path stays available (presliced=True), byte-identical and fully
+# tested, for environments where the Python side, not the JVM, is the
+# scarce resource (e.g. few python workers per executor, or a cluster
+# where Arrow IPC crosses a real network).
+#
+# Byte-identity is guaranteed by construction, not hope: every slice
+# mirrors the Python kernel's own find/rfind logic exactly (see the
+# per-column notes below), and whenever a slice CANNOT prove it contains
+# everything the full kernel would have read (balanced scan runs off the
+# slice end, clipped twister region, U+FFFD in the JVM decode — where
+# Java and Python replacement-decoding can differ), the row sets
+# needs_full and is re-extracted by the unchanged full-html UDF in a
+# masked second pass (nulls for the common rows, so Arrow ships almost
+# nothing). tests/test_extract.py runs the sliced path differentially
+# against extract_one on the reference fixtures, the synthetic corpus
+# and adversarial pages.
+
+# JVM twins of the Python patterns. Java needs explicit Unicode flags to
+# match Python re semantics: (?U) = UNICODE_CHARACTER_CLASS makes \s/\b
+# Unicode-aware (Python's default on str) and implies UNICODE_CASE for
+# (?i).
+_ACR_PATTERN_JVM = "(?iU)<[^>]*\\sid\\s*=\\s*[\"']averageCustomerReviews[\"'][^>]*>"
+_SKIP_BLOCK_JVM = "(?isU)<(script|style|template|noscript)\\b[^>]*>.*?</\\1\\s*>"
+_COMMENT_JVM = "(?s)<!--.*?-->"
+_TAG_JVM = "<[^>]*>"
+
+FB_SLICE_K = 65_536  # chars kept past the feature-bullets marker
+TW_SLICE_K = 262_144  # chars kept past the twister anchor
+_TW_BACK = 2_000_000  # the kernel's own backward reach for the blob start
+
+SLICED_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("needs_full", T.BooleanType()),
+    ]
+)
+
+
+def _detag_jvm(h: Column) -> Column:
+    """extract_text's first three passes (block/comment/tag removal) as
+    JVM regexp_replace; Python finishes with unescape + whitespace
+    collapse on the (much smaller) result — same order as extract_text,
+    so the bytes are identical."""
+    nb = F.regexp_replace(h, _SKIP_BLOCK_JVM, " ")
+    nc = F.regexp_replace(nb, _COMMENT_JVM, " ")
+    return F.regexp_replace(nc, _TAG_JVM, " ")
+
+
+def _twister_slice_jvm(h: Column) -> tuple[Column, Column, Column]:
+    """(tw_has, slice, clipped): the region the kernel's twister scan
+    reads, starting exactly where the kernel starts — the LAST
+    'var dataToReturn' before the FIRST anchor (greedy-.* regexp = rfind)
+    or, absent that, the kernel's max(0, anchor-2MB) back-window — and
+    extending TW_SLICE_K past the anchor. clipped = the forward window
+    ends before the document does (parse running off the slice end then
+    means needs_full; unclipped means the slice IS the document tail and
+    the replay is exact)."""
+    pos = F.instr(h, "dimensionValuesDisplayData")
+    has = pos > 0
+    prefix = h.substr(F.lit(1), F.greatest(pos - 1, F.lit(0)))
+    last_dtr = F.regexp_extract(prefix, "(?s).*(var dataToReturn.*)", 1)
+    back = prefix.substr(
+        F.greatest(F.lit(1), F.length(prefix) - F.lit(_TW_BACK - 1)), F.lit(_TW_BACK)
+    )
+    fwd = h.substr(pos, F.lit(TW_SLICE_K))
+    sl = F.when(~has, F.lit("")).when(last_dtr != "", F.concat(last_dtr, fwd)).otherwise(
+        F.concat(back, fwd)
+    )
+    clipped = (pos - 1 + TW_SLICE_K) < F.length(h)
+    return has, sl, clipped
+
+
+def _bullets_from_slice(
+    fb_dq: str, dq_has: bool, fb_sq: str, sq_has: bool
+) -> tuple[list[str], bool]:
+    """(bullets, needs_full). The slice starts at the last '<' before the
+    first marker — exactly the kernel's rfind — so the replay below IS
+    extract_feature_bullets with shifted offsets. Any path the full
+    kernel would hand to the whole-document HTMLParser walk (unbalanced
+    element/ul) sets needs_full instead."""
+    if dq_has:
+        sl, marker = fb_dq, 'id="feature-bullets"'
+    elif sq_has:
+        sl, marker = fb_sq, "id='feature-bullets'"
+    else:
+        return [], False
+    if not sl:
+        return [], True  # marker present but no preceding '<' — pathological
+    i = sl.find(marker)
+    if i < 0:
+        return [], True
+    start = sl.rfind("<", 0, i)
+    tag_m = _TAG_NAME_RE.match(sl, start)
+    region_end = _balanced_element_end(sl, start, tag_m.group(1)) if tag_m else -1
+    if region_end < 0:
+        return [], True
+    region = sl[start:region_end]
+    bullets: list[str] = []
+    pos = 0
+    while True:
+        um = _UL_OPEN_RE.search(region, pos)
+        if not um:
+            break
+        ul_start = um.start()
+        ul_end = _balanced_element_end(region, ul_start, "ul")
+        if ul_end < 0:
+            return [], True
+        ul_region = region[ul_start:ul_end]
+        parts = _LI_OPEN_RE.split(ul_region)[1:]
+        for p in parts:
+            p = _LI_CLOSE_RE.split(p, 1)[0]
+            text = unescape(_INNER_TAG_RE.sub("", p)).strip()
+            if text:
+                bullets.append(text)
+        pos = ul_end
+    return bullets, False
+
+
+def _twister_from_slice(tw: str, clipped: bool) -> tuple[Optional[dict], bool]:
+    """(matrix, needs_full) — extract_twister_matrix replayed on the
+    slice. A JSON value that completes within the slice completes
+    identically in the full document (values are self-delimiting), so
+    success never needs the full page; incompleteness does only when the
+    slice was clipped."""
+    anchor = tw.find("dimensionValuesDisplayData")
+    if anchor < 0:
+        return None, True  # defensive: flag said present
+    blob_start = tw.rfind("var dataToReturn", 0, anchor)
+    if blob_start < 0:
+        blob_start = max(0, anchor - _TW_BACK)
+    brace = tw.find("{", blob_start)
+    if brace < 0:
+        return None, True  # kernel's brace<0 path indexes from the doc end — full replay
+    if brace >= 0:
+        try:
+            parsed, _ = _JSON_DECODER.raw_decode(tw, brace)
+            if isinstance(parsed, dict):
+                return parsed, False
+        except ValueError:
+            pass
+    blob = _balanced_json_value(tw, brace)
+    if blob is None and clipped:
+        return None, True
+    region = blob if blob is not None else tw[blob_start : anchor + _TW_BACK]
+    out: dict[str, Any] = {}
+    for key in _TWISTER_KEYS:
+        m = _TWISTER_KEY_RES[key].search(region)
+        if not m:
+            continue
+        raw = _balanced_json_value(region, m.end())
+        if raw is None:
+            continue
+        try:
+            out[key] = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    if not out:
+        raise ExtractionError("twister blob unparseable")
+    return out, False
+
+
+def _variants_from_slice(
+    tw_has: bool, tw: str, clipped: bool, root: Optional[str]
+) -> tuple[Optional[dict], bool]:
+    """extract_variations_matrix over the slice: failures yield {} (D5,
+    never fatal), incompleteness yields needs_full."""
+    if not tw_has:
+        return {}, False
+    try:
+        matrix, nf = _twister_from_slice(tw, clipped)
+        if nf:
+            return None, True
+        return build_variants(matrix, root), False
+    except Exception:
+        return {}, False
+
+
+def extract_one_sliced(
+    url: str,
+    acr: Optional[str],
+    fb_dq: Optional[str],
+    fb_dq_has: bool,
+    fb_sq: Optional[str],
+    fb_sq_has: bool,
+    tw_has: bool,
+    tw: Optional[str],
+    tw_clipped: bool,
+    detagged: Optional[str],
+    bad_decode: bool,
+) -> tuple[Optional[str], Optional[str], Optional[str], bool]:
+    """(payload_json, text, error, needs_full) from the JVM slices."""
+    if detagged is None:
+        return None, None, repr(ExtractionError("fetch miss: url absent from pages")), False
+    if bad_decode:
+        return None, None, None, True
+    try:
+        if not acr:
+            raise ExtractionError("locator '#averageCustomerReviews' not found")
+        a = _DATA_ASIN_RE.search(acr)
+        asin = (
+            None
+            if a is None
+            else unescape(a.group(1) if a.group(1) is not None else a.group(2))
+        )
+        bullets, nf = _bullets_from_slice(fb_dq or "", fb_dq_has, fb_sq or "", fb_sq_has)
+        if nf:
+            return None, None, None, True
+        variants, nf = _variants_from_slice(tw_has, tw or "", tw_clipped, py_root_url(url))
+        if nf:
+            return None, None, None, True
+        payload = {
+            "asin": asin,
+            "feature_bullets": bullets,
+            "url": url,
+            "variants": variants,
+        }
+        text = _WS_RE.sub(" ", unescape(detagged)).strip()
+        return payload_to_json(payload), text, None, False
+    except Exception as e:  # reference stores repr(error) (context.py:100)
+        return None, None, repr(e), False
+
+
+@F.pandas_udf(SLICED_RESULT_SCHEMA)
+def extract_sliced_udf(
+    url: pd.Series,
+    acr: pd.Series,
+    fb_dq: pd.Series,
+    fb_dq_has: pd.Series,
+    fb_sq: pd.Series,
+    fb_sq_has: pd.Series,
+    tw_has: pd.Series,
+    tw: pd.Series,
+    tw_clipped: pd.Series,
+    detagged: pd.Series,
+    bad_decode: pd.Series,
+) -> pd.DataFrame:
+    payloads: list[Optional[str]] = []
+    texts: list[Optional[str]] = []
+    errors: list[Optional[str]] = []
+    fulls: list[bool] = []
+    for row in zip(
+        url, acr, fb_dq, fb_dq_has, fb_sq, fb_sq_has, tw_has, tw, tw_clipped,
+        detagged, bad_decode,
+    ):
+        pj, tx, er, nf = extract_one_sliced(
+            row[0], row[1], row[2], bool(row[3]), row[4], bool(row[5]),
+            bool(row[6]), row[7], bool(row[8]), row[9], bool(row[10]),
+        )
+        payloads.append(pj)
+        texts.append(tx)
+        errors.append(er)
+        fulls.append(nf)
+    return pd.DataFrame(
+        {"payload_json": payloads, "text": texts, "error": errors, "needs_full": fulls}
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
 
@@ -519,16 +800,80 @@ def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"payload_json": payloads, "text": texts, "error": errors})
 
 
-def with_extraction(df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+def with_extraction(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    presliced: bool = False,
+) -> DataFrame:
     """Append extraction columns: payload_json, text, error, and the typed
     ``data`` struct (recovered JVM-side via from_json — Arrow only ever
-    carries flat strings)."""
-    res = extract_udf(F.col(url_col), F.col(html_col))
+    carries flat strings).
+
+    presliced=True: the JVM slices the three payload regions + de-tags
+    the text first, so Arrow carries ~KBs per row instead of the full
+    page; rows whose slices can't prove completeness (needs_full) are
+    re-extracted by the full-html kernel in a masked second pass — html
+    is nulled for all other rows, so the second Arrow transfer is almost
+    free. Byte-identical to the default path (differential-tested), but
+    MEASURED SLOWER in this environment (see the pre-sliced section
+    banner) — default stays the single-pass full-html kernel."""
+    if not presliced:
+        res = extract_udf(F.col(url_col), F.col(html_col))
+        return (
+            df.withColumn("_x", res)
+            .withColumn("payload_json", F.col("_x.payload_json"))
+            .withColumn("text", F.col("_x.text"))
+            .withColumn("error", F.col("_x.error"))
+            .drop("_x")
+            .withColumn("data", F.from_json("payload_json", PAYLOAD_SCHEMA))
+        )
+    h = F.col("_h")
+    # feature-bullets slices: from the last '<' before the FIRST marker
+    # ([^<]* cannot cross a '<', so the regex start IS the kernel's
+    # rfind) through FB_SLICE_K chars past the marker
+    fb_dq = F.regexp_extract(h, '(?s)<[^<]*id="feature-bullets".{0,%d}' % FB_SLICE_K, 0)
+    fb_sq = F.regexp_extract(h, "(?s)<[^<]*id='feature-bullets'.{0,%d}" % FB_SLICE_K, 0)
+    tw_has, tw_slice, tw_clipped = _twister_slice_jvm(h)
+    sliced = extract_sliced_udf(
+        F.col(url_col),
+        F.regexp_extract(h, _ACR_PATTERN_JVM, 0),
+        fb_dq,
+        F.instr(h, 'id="feature-bullets"') > 0,
+        fb_sq,
+        F.instr(h, "id='feature-bullets'") > 0,
+        tw_has,
+        tw_slice,
+        tw_clipped,
+        _detag_jvm(h),
+        # U+FFFD present ⇒ the JVM UTF-8 replacement decode may differ
+        # from Python's byte-wise 'replace' — route through the full
+        # kernel, which decodes in Python exactly as before
+        F.instr(h, "�") > 0,
+    )
+    out = (
+        df.withColumn("_h", F.col(html_col).cast("string"))
+        .withColumn("_s", sliced)
+        .withColumn(
+            "_f",
+            extract_udf(
+                F.col(url_col),
+                F.when(F.col("_s.needs_full"), F.col(html_col)).otherwise(F.lit(None)),
+            ),
+        )
+    )
+    pick = F.when(F.col("_s.needs_full"), F.col("_f")).otherwise(
+        F.struct(
+            F.col("_s.payload_json").alias("payload_json"),
+            F.col("_s.text").alias("text"),
+            F.col("_s.error").alias("error"),
+        )
+    )
     return (
-        df.withColumn("_x", res)
+        out.withColumn("_x", pick)
         .withColumn("payload_json", F.col("_x.payload_json"))
         .withColumn("text", F.col("_x.text"))
         .withColumn("error", F.col("_x.error"))
-        .drop("_x")
+        .drop("_x", "_s", "_f", "_h")
         .withColumn("data", F.from_json("payload_json", PAYLOAD_SCHEMA))
     )
