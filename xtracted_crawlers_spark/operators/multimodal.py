@@ -46,7 +46,9 @@ FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_digest string"
 
 
 def decode_available() -> bool:
-    """True when a real image codec is importable; the sandbox has none."""
+    """True when a COMPRESSED-format codec (PIL) is importable; the
+    sandbox has none. Uncompressed BMP/PPM decode needs only numpy and is
+    always available — see decode_image()."""
     try:
         import PIL  # noqa: F401
 
@@ -57,8 +59,10 @@ def decode_available() -> bool:
 
 def _decode_image_real(b: bytes) -> tuple[int, int, int]:
     raise NotImplementedError(
-        "real image decode requires an image codec (PIL/libvips) not present "
-        "in this environment; the pipeline uses the deterministic stub"
+        "compressed image decode (JPEG/PNG/...) requires a codec "
+        "(PIL/libvips) not present in this environment; uncompressed "
+        "BMP/PPM decode works codec-free via decode_image(), everything "
+        "else uses the deterministic stub"
     )
 
 
@@ -70,16 +74,146 @@ def _decode_image_stub(b: bytes) -> tuple[int, int, int]:
     return w, h, 3
 
 
+# -- codec-free real decode (round-3 verdict #7) ----------------------------
+# 24-bit uncompressed BMP and binary PPM (P6) are pure byte layouts — a
+# numpy frombuffer + reshape decodes them with no image library, so the
+# REAL pixel path (decode → per-channel statistics → feature vector) is
+# exercised end-to-end through the mapInPandas stage in this sandbox.
+# Anything unrecognized (or malformed) falls back to the deterministic
+# stub, which is what the synthetic contract media always hits — the
+# driver oracles are unaffected.
+
+
+def _decode_bmp(b: bytes):
+    """(w, h, 3, pixels HxWx3 uint8 RGB) for a 24-bit uncompressed BMP;
+    None if the header says anything else."""
+    import numpy as np
+
+    if len(b) < 54:
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if off + row * h > len(b):
+        return None
+    arr = np.frombuffer(b, np.uint8, row * h, off).reshape(h, row)[:, : w * 3]
+    arr = arr.reshape(h, w, 3)
+    if flip:  # positive height = bottom-up storage
+        arr = arr[::-1]
+    return w, h, 3, arr[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_ppm(b: bytes):
+    """(w, h, 3, pixels) for a binary PPM (P6, maxval<=255); else None."""
+    import numpy as np
+    import re as _re
+
+    # header: P6, then w, h, maxval as whitespace/comment-separated
+    # tokens, then ONE whitespace byte, then raw RGB
+    m = _re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s", b)
+    if not m:
+        return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    off = m.end()
+    if off + w * h * 3 > len(b):
+        return None
+    arr = np.frombuffer(b, np.uint8, w * h * 3, off).reshape(h, w, 3)
+    return w, h, 3, arr
+
+
+def encode_bmp(pixels) -> bytes:
+    """24-bit uncompressed bottom-up BMP from an HxWx3 uint8 RGB array —
+    the test-fixture twin of _decode_bmp."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = (w * 3 + 3) & ~3
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
+    data = body.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6) from an HxWx3 uint8 RGB array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_image(b: bytes):
+    """(w, h, c, pixels HxWx3 uint8) via the codec-free numpy decoders
+    (BMP/PPM); None when the format is unrecognized/malformed (caller
+    uses the deterministic stub). PIL-decodable compressed formats would
+    slot in here; the sandbox has no PIL (decode_available())."""
+    try:
+        if b[:2] == b"BM":
+            return _decode_bmp(b)
+        if b[:2] == b"P6":
+            return _decode_ppm(b)
+    except Exception:
+        return None
+    return None
+
+
+def pixel_features(pixels, feat_dim: int = 8) -> list[float]:
+    """Real feature vector from decoded pixels: per-channel means and
+    stds (plus overall mean/std), scaled to [0,1], cycled to feat_dim and
+    QUANTIZED to 1/255 steps so the feat <-> feat_fp hex roundtrip
+    invariant of the stub path holds identically for real features."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    flat = px.reshape(-1, px.shape[-1])
+    vals = list(flat.mean(axis=0) / 255.0) + list(flat.std(axis=0) / 255.0)
+    vals += [float(px.mean() / 255.0), float(px.std() / 255.0)]
+    out = [vals[i % len(vals)] for i in range(feat_dim)]
+    return [min(255, max(0, int(round(v * 255)))) / 255.0 for v in out]
+
+
 def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Decode + feature-extract stage over image rows: mapInPandas so each
     Arrow batch streams through without building a row-sized pandas cell
     copy per column reference.
 
     Output per image: (width, height, channels) from the decoder,
-    ``digest`` = md5 of the bytes, ``feat`` = feat_dim floats in [0, 1)
-    derived from md5(bytes + '#feat'), and ``feat_fp`` = the 2*feat_dim-hex
-    fingerprint those floats decode from (hashable contract form of the
-    float array)."""
+    ``digest`` = md5 of the bytes, ``feat`` = feat_dim floats in [0, 1],
+    and ``feat_fp`` = the 2*feat_dim-hex fingerprint those floats decode
+    from (hashable contract form of the float array; feat[i] ==
+    int(feat_fp[2i:2i+2], 16)/255 on BOTH paths).
+
+    Rows whose bytes decode codec-free (BMP/PPM, decode_image) get REAL
+    pixel statistics as features; everything else gets the deterministic
+    md5-arithmetic stub. The synthetic contract media never carries a
+    BMP/PPM magic, so the driver oracles see only the stub path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -88,14 +222,19 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
             rows = []
             for mid, b in zip(pdf["media_id"], pdf["bytes"]):
                 b = bytes(b) if b is not None else b""
-                if decode_available():
-                    w, h, c = _decode_image_real(b)  # pragma: no cover
+                digest = hashlib.md5(b).hexdigest()
+                dec = decode_image(b)
+                if dec is not None:
+                    w, h, c, px = dec
+                    feat = pixel_features(px, feat_dim)
+                    fhex = "".join(f"{int(round(v * 255)):02x}" for v in feat)
                 else:
                     w, h, c = _decode_image_stub(b)
-                digest = hashlib.md5(b).hexdigest()
-                # fake embedding: hex-pair bytes of a second digest, scaled
-                fhex = hashlib.md5(b + b"#feat").hexdigest()[: 2 * feat_dim]
-                feat = [int(fhex[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feat_dim)]
+                    # fake embedding: hex-pair bytes of a second digest, scaled
+                    fhex = hashlib.md5(b + b"#feat").hexdigest()[: 2 * feat_dim]
+                    feat = [
+                        int(fhex[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feat_dim)
+                    ]
                 rows.append((int(mid), w, h, c, digest, fhex, feat))
             yield pd.DataFrame(
                 rows,
