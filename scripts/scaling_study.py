@@ -414,8 +414,18 @@ Raw JSON: `{json.dumps(result)}`
 
 Reproduce: `python3 scripts/scaling_study.py {n_pages}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # the generated section replaces everything up to the first '## '
+    # heading; hand-written appendix sections (cross-study tables,
+    # analyses) below it are PRESERVED across rewrites
+    out_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        i = old.find("\n## ")
+        if i >= 0:
+            tail = old[i:]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":

@@ -303,26 +303,9 @@ def test_sliced_fallback_is_rare_on_corpus(spark):
     from pyspark.sql import functions as FF
 
     pages = fixtures.gen_pages(spark, 2000, n_hosts=40, zipf=2.0)
-    h = FF.col("html").cast("string")
-    df = pages.withColumn("_h", h)
-    fb_dq = FF.regexp_extract(
-        FF.col("_h"), '(?s)<[^<]*id="feature-bullets".{0,%d}' % extract.FB_SLICE_K, 0
-    )
-    tw_has, tw_slice, tw_clipped = extract._twister_slice_jvm(FF.col("_h"))
+    df = pages.withColumn("_h", FF.col("html").cast("string"))
     sliced = extract.extract_sliced_udf(
-        FF.col("url"),
-        FF.regexp_extract(FF.col("_h"), extract._ACR_PATTERN_JVM, 0),
-        fb_dq,
-        FF.instr(FF.col("_h"), 'id="feature-bullets"') > 0,
-        FF.regexp_extract(
-            FF.col("_h"), "(?s)<[^<]*id='feature-bullets'.{0,%d}" % extract.FB_SLICE_K, 0
-        ),
-        FF.instr(FF.col("_h"), "id='feature-bullets'") > 0,
-        tw_has,
-        tw_slice,
-        tw_clipped,
-        extract._detag_jvm(FF.col("_h")),
-        FF.instr(FF.col("_h"), "�") > 0,
+        FF.col("url"), *extract.sliced_inputs(FF.col("_h"))
     )
     n_full = df.withColumn("_s", sliced).filter(FF.col("_s.needs_full")).count()
     assert n_full == 0

@@ -264,3 +264,37 @@ def test_default_config_selection_has_window_group_limit(spark, tmp_path):
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
     # at test scale (≪ the cap) the selection is the whole pending set
     assert out.count() == 100
+
+
+def test_bucketed_fetch_join_no_exchange(spark):
+    """The 10^10-row fetch-join layout, demonstrated without Iceberg:
+    pages and the selection bucketed+sorted by url with the same bucket
+    count join with NO Exchange on either side (co-located sort-merge),
+    and the result equals the plain join."""
+    from xtracted_crawlers_spark.sources.pages import write_pages_bucketed
+
+    pages = fixtures.gen_pages(spark, 1500, n_hosts=20).select(
+        "url", "html", "text"
+    )
+    sel = pages.select("url").sample(0.2, seed=7)
+    write_pages_bucketed(pages, "t_pages_b", buckets=8)
+    (
+        sel.write.mode("overwrite")
+        .bucketBy(8, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable("t_sel_b")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_pages_b").join(spark.table("t_sel_b"), "url")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        expected = pages.join(sel, "url").count()
+        assert j.count() == expected > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists t_pages_b")
+        spark.sql("drop table if exists t_sel_b")

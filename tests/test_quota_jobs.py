@@ -229,3 +229,54 @@ def test_quota_parity_engine_vs_simulator(spark, qcorpus, tmp_path):
     assert eng == simst
     eng_quota = {r["user_id"]: r["requests"] for r in cat.load(spark, QT.QUOTA_TABLE).collect()}
     assert eng_quota == sim.quota
+
+
+def test_external_frontier_writer_triggers_jobs_recommit(spark, qcorpus, tmp_path):
+    """The optimistic jobs-delta write (round 4): an EXTERNAL writer that
+    commits frontier rows for a job the jobs table has never seen trips
+    the ride-along unseen observation, and the corrective full-derive
+    recommit repairs the jobs table before the round returns."""
+    from xtracted_crawlers_spark import frontier as FR
+    from xtracted_crawlers_spark.crawl import FRONTIER_TABLE, run_round
+
+    pages = spark.read.parquet(qcorpus["pages"])
+    seeds = spark.read.parquet(qcorpus["seeds"])
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh_ext"))
+    cfg = CrawlConfig(max_rounds=2)
+    run_crawl(spark, cat, pages, seeds, cfg=cfg)
+
+    # simulate an external writer: frontier rows for a brand-new job
+    # appended WITHOUT jobs_apply_ingest (bypassing bootstrap)
+    fr = load_frontier(spark, cat)
+    foreign = (
+        fr.limit(3)
+        .withColumn("job_id", F.lit(9999).cast(fr.schema["job_id"].dataType))
+        .withColumn("url_id", F.concat(F.lit("X"), F.col("url_id")))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("retries", F.lit(0))
+        .withColumn("round", F.lit(0))
+    )
+    cat.commit(
+        fr.unionByName(foreign), FRONTIER_TABLE, metrics={"event": "external", "kind": "base"}
+    )
+    hist_before = len(cat.history(QT.JOBS_TABLE))
+    m = run_round(spark, cat, pages, 50, cfg)
+    assert m["selected"] > 0  # the foreign pending rows are selectable
+    # corrective recommit happened: two jobs commits for this round
+    hist = cat.history(QT.JOBS_TABLE)
+    assert len(hist) == hist_before + 2
+    assert hist[-1].metrics.get("event") == "job_status_full_recommit"
+    # and the final jobs table knows the foreign job with correct totals
+    jobs = {
+        (r["user_id"], r["job_id"]): r
+        for r in cat.load(spark, QT.JOBS_TABLE).collect()
+    }
+    foreign_rows = [r for (u, j), r in jobs.items() if j == 9999]
+    assert len(foreign_rows) == len({r["user_id"] for r in foreign.collect()})
+    derived = {
+        (r["user_id"], r["job_id"]): r
+        for r in QT.job_status(load_frontier(spark, cat)).collect()
+    }
+    for k, r in derived.items():
+        assert jobs[k]["n_total"] == r["n_total"], k
+        assert jobs[k]["n_complete"] == r["n_complete"], k

@@ -79,10 +79,12 @@ class CrawlConfig:
     # bounded file count at sandbox scale (a 5k-row delta is 1 file, not
     # 32 near-empty ones — fewer write tasks, fewer files for the MoR
     # readback) AND bounded file size at cluster scale (a 10M-row delta
-    # is ~100 parallel writers). repartition (a shuffle of the bounded
-    # delta), never coalesce: coalesce would collapse the extraction
-    # stage itself to the target parallelism.
-    delta_rows_per_file: int = 100_000
+    # is ~400 writers, clamped to the cluster parallelism). repartition
+    # (a shuffle of the bounded delta), never coalesce: coalesce would
+    # collapse the extraction stage itself to the target parallelism.
+    # 25k payload-carrying rows ≈ a healthy parquet file; measured at an
+    # 81k-row round: 1 file = 1.53 s write, 4 files = 0.74 s.
+    delta_rows_per_file: int = 25_000
     # broadcast the round selection into the fetch join only when its
     # counted size is under this bound. The default config leaves
     # default_budget/global_budget None (budget ~2^62), so the selection
@@ -433,14 +435,23 @@ def run_round(
     # jobs bookkeeping: job_status/progress/heartbeat. Incremental update
     # from the round's touched rows when possible (never scans the
     # frontier); full derive on the first round, under discovery, or when
-    # an unseen job appears (can't happen while every ingest path calls
-    # jobs_apply_ingest, but the fallback stays as the safety net).
+    # an unseen job appears. Unseen jobs are IMPOSSIBLE engine-internally
+    # (bootstrap/streaming ingest call jobs_apply_ingest; rerun_job
+    # recommits the full derive), so with no quota table to materialize
+    # tagg first, the delta is written OPTIMISTICALLY — the unseen
+    # observation rides the jobs write itself, and the only scenario
+    # that trips it (an external writer adding frontier rows behind the
+    # jobs table's back) is repaired by an immediate corrective
+    # full-derive recommit. That saves a per-round materialization
+    # action in the default config.
     if cfg.track_jobs:
         jobs_df = None
+        optimistic = False
         if prev_jobs is not None and not cfg.expand_variants:
             if quota_df is None:
-                tagg.count()  # materialize tagg + its observation (tiny)
-            if int(tagg_obs.get["unseen"]) == 0:
+                jobs_df = QT.job_status_delta_from_agg(prev_jobs, tagg, round_id)
+                optimistic = True
+            elif int(tagg_obs.get["unseen"]) == 0:
                 jobs_df = QT.job_status_delta_from_agg(prev_jobs, tagg, round_id)
         if jobs_df is None:
             jobs_df = QT.job_status(load_frontier(spark, catalog))
@@ -450,6 +461,13 @@ def run_round(
             round_id=round_id,
             metrics={"event": "job_status", "round": round_id},
         )
+        if optimistic and int(tagg_obs.get["unseen"]) > 0:
+            catalog.commit(
+                QT.job_status(load_frontier(spark, catalog)).coalesce(1),
+                QT.JOBS_TABLE,
+                round_id=round_id,
+                metrics={"event": "job_status_full_recommit", "round": round_id},
+            )
     if quota_df is not None or cfg.track_jobs:
         tagg.unpersist()
     sel.unpersist()

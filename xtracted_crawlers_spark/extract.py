@@ -800,6 +800,32 @@ def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"payload_json": payloads, "text": texts, "error": errors})
 
 
+def sliced_inputs(h: Column) -> list[Column]:
+    """The ten JVM slice/flag columns extract_sliced_udf consumes, from
+    the decoded html column (shared by with_extraction and tests)."""
+    # feature-bullets slices: from the last '<' before the FIRST marker
+    # ([^<]* cannot cross a '<', so the regex start IS the kernel's
+    # rfind) through FB_SLICE_K chars past the marker
+    fb_dq = F.regexp_extract(h, '(?s)<[^<]*id="feature-bullets".{0,%d}' % FB_SLICE_K, 0)
+    fb_sq = F.regexp_extract(h, "(?s)<[^<]*id='feature-bullets'.{0,%d}" % FB_SLICE_K, 0)
+    tw_has, tw_slice, tw_clipped = _twister_slice_jvm(h)
+    return [
+        F.regexp_extract(h, _ACR_PATTERN_JVM, 0),
+        fb_dq,
+        F.instr(h, 'id="feature-bullets"') > 0,
+        fb_sq,
+        F.instr(h, "id='feature-bullets'") > 0,
+        tw_has,
+        tw_slice,
+        tw_clipped,
+        _detag_jvm(h),
+        # U+FFFD present ⇒ the JVM UTF-8 replacement decode may differ
+        # from Python's byte-wise 'replace' — route through the full
+        # kernel, which decodes in Python exactly as before
+        F.instr(h, "�") > 0,
+    ]
+
+
 def with_extraction(
     df: DataFrame,
     url_col: str = "url",
@@ -828,29 +854,7 @@ def with_extraction(
             .drop("_x")
             .withColumn("data", F.from_json("payload_json", PAYLOAD_SCHEMA))
         )
-    h = F.col("_h")
-    # feature-bullets slices: from the last '<' before the FIRST marker
-    # ([^<]* cannot cross a '<', so the regex start IS the kernel's
-    # rfind) through FB_SLICE_K chars past the marker
-    fb_dq = F.regexp_extract(h, '(?s)<[^<]*id="feature-bullets".{0,%d}' % FB_SLICE_K, 0)
-    fb_sq = F.regexp_extract(h, "(?s)<[^<]*id='feature-bullets'.{0,%d}" % FB_SLICE_K, 0)
-    tw_has, tw_slice, tw_clipped = _twister_slice_jvm(h)
-    sliced = extract_sliced_udf(
-        F.col(url_col),
-        F.regexp_extract(h, _ACR_PATTERN_JVM, 0),
-        fb_dq,
-        F.instr(h, 'id="feature-bullets"') > 0,
-        fb_sq,
-        F.instr(h, "id='feature-bullets'") > 0,
-        tw_has,
-        tw_slice,
-        tw_clipped,
-        _detag_jvm(h),
-        # U+FFFD present ⇒ the JVM UTF-8 replacement decode may differ
-        # from Python's byte-wise 'replace' — route through the full
-        # kernel, which decodes in Python exactly as before
-        F.instr(h, "�") > 0,
-    )
+    sliced = extract_sliced_udf(F.col(url_col), *sliced_inputs(F.col("_h")))
     out = (
         df.withColumn("_h", F.col(html_col).cast("string"))
         .withColumn("_s", sliced)

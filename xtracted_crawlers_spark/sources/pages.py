@@ -31,6 +31,26 @@ PAGES_TABLE_SCHEMA = T.StructType(
 )
 
 
+def write_pages_bucketed(
+    df: DataFrame, table: str = "pages_bucketed", buckets: int = 64
+) -> None:
+    """Spark-native bucketed twin of the documented Iceberg layout: a
+    managed table bucketed AND sorted by url. A selection/frontier table
+    written with the SAME bucket count joins on url with NO Exchange on
+    either side (bucket-pruned, co-located sort-merge join) — the
+    shuffle-free fetch-join the 10^10-row design counts on, demonstrable
+    without the Iceberg jar (tests/test_plans_streaming.py asserts the
+    Exchange-free plan). At 100 TB the same layout also storage-prunes
+    the scan to the buckets the selection touches."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Schema-enforcing reader: extra columns dropped, required columns
     must exist (fail fast at plan time, not mid-round)."""
