@@ -90,13 +90,15 @@ def test_selectable_filter(spark):
 
 
 def test_robots_parse():
-    dis, delay = scheduler.parse_robots(
+    dis, allow, delay = scheduler.parse_robots(
         "User-agent: googlebot\nDisallow: /private\n\n"
-        "User-agent: *\nDisallow: /gp/\nDisallow: /search\nCrawl-delay: 2\n# comment\nDisallow:\n"
+        "User-agent: *\nDisallow: /gp/\nDisallow: /search\nAllow: /gp/public/\n"
+        "Crawl-delay: 2\n# comment\nDisallow:\nAllow:\n"
     )
     assert dis == ["/gp/", "/search"]
+    assert allow == ["/gp/public/"]
     assert delay == 2.0
-    assert scheduler.parse_robots("") == ([], None)
+    assert scheduler.parse_robots("") == ([], [], None)
 
 
 def test_robots_gate_and_budget(spark):
@@ -191,3 +193,54 @@ def test_effective_config_clamps_to_finite_robots_budget(spark):
 
     assert effective_config(CrawlConfig(max_host_budget=None), rules).max_host_budget is None
     assert effective_config(CrawlConfig(), None).max_host_budget == 1000
+
+
+def test_allow_overrides_disallow_longest_match(spark):
+    """RFC 9309 precedence in the gate: the longest matching rule wins,
+    Allow winning ties — engine gate and simulator agree."""
+    fr = FR.ingest_seeds(
+        _seeds(
+            spark,
+            [
+                (U1, 100, 0, "https://h1.test/dp/B000000001"),  # Disallow /dp/ → blocked
+                (U1, 100, 1, "https://h1.test/dp/B000GOOD01"),  # Allow /dp/B000GOOD longer → kept
+                (U1, 100, 2, "https://h1.test/dp/B000GOOD02"),
+                (U1, 100, 3, "https://h2.test/dp/B000000003"),  # no rules host → kept
+            ],
+        )
+    )
+    robots = spark.createDataFrame(
+        [("h1.test", "User-agent: *\nDisallow: /dp/\nAllow: /dp/B000GOOD", None, None)],
+        "host string, robots_txt string, crawl_delay_s double, max_tokens int",
+    )
+    rules = scheduler.robots_rules(robots)
+    sel = {r["url_id"] for r in scheduler.select_round(FR.selectable(fr), rules).collect()}
+    assert sel == {"B000GOOD01", "B000GOOD02", "B000000003"}
+
+    # tie: Allow and Disallow same prefix length → Allow wins
+    robots_tie = spark.createDataFrame(
+        [("h1.test", "User-agent: *\nDisallow: /dp/\nAllow: /dp/", None, None)],
+        "host string, robots_txt string, crawl_delay_s double, max_tokens int",
+    )
+    sel_tie = {
+        r["url_id"]
+        for r in scheduler.select_round(
+            FR.selectable(fr), scheduler.robots_rules(robots_tie)
+        ).collect()
+    }
+    assert sel_tie == {"B000000001", "B000GOOD01", "B000GOOD02", "B000000003"}
+
+    # simulator mirror agrees row-for-row
+    from xtracted_crawlers_spark.simulator import ReferenceSimulator
+
+    sim = ReferenceSimulator(
+        pages={},
+        robots={"h1.test": "User-agent: *\nDisallow: /dp/\nAllow: /dp/B000GOOD"},
+    )
+    sim.submit(U1, 100, [
+        "https://h1.test/dp/B000000001",
+        "https://h1.test/dp/B000GOOD01",
+        "https://h2.test/dp/B000000003",
+    ])
+    blocked = {r.url_id for r in sim.rows.values() if sim._disallowed(r)}
+    assert blocked == {"B000000001"}

@@ -36,8 +36,9 @@ def test_extract_text_canonical_form(html):
 
 @given(st.text(max_size=300))
 def test_parse_robots_total(txt):
-    dis, delay = parse_robots(txt)
+    dis, allow, delay = parse_robots(txt)
     assert isinstance(dis, list)
+    assert isinstance(allow, list)
     assert delay is None or isinstance(delay, float)
 
 

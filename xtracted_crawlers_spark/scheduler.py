@@ -38,11 +38,15 @@ from . import urlnorm
 _DEFAULT_ROUND_SECONDS = 60.0
 
 
-def parse_robots(robots_txt: str) -> tuple[list[str], Optional[float]]:
-    """Minimal robots.txt subset for the 'User-agent: *' group:
-    Disallow path prefixes (empty Disallow = allow all) and Crawl-delay.
-    Pure function; used both by the vectorized parser and the simulator."""
+def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]]:
+    """Minimal robots.txt subset for the 'User-agent: *' group: Disallow
+    and Allow path prefixes (empty value = no rule) and Crawl-delay.
+    Precedence is applied by the gate, not here (RFC 9309 longest-match,
+    Allow wins ties). No '*'/'$' wildcards or %-decoding — documented
+    prefix-match subset. Pure function; used both by the vectorized
+    parser and the simulator."""
     disallow: list[str] = []
+    allow: list[str] = []
     delay: Optional[float] = None
     applies = False
     for raw in (robots_txt or "").splitlines():
@@ -56,27 +60,37 @@ def parse_robots(robots_txt: str) -> tuple[list[str], Optional[float]]:
             applies = val == "*"
         elif applies and key == "disallow" and val:
             disallow.append(val)
+        elif applies and key == "allow" and val:
+            allow.append(val)
         elif applies and key == "crawl-delay":
             try:
                 delay = float(val)
             except ValueError:
                 pass
-    return disallow, delay
+    return disallow, allow, delay
 
 
 def robots_rules(robots: DataFrame) -> DataFrame:
-    """(host, disallow array, crawl_delay_s, max_tokens) from the raw
-    robots table; parsing is one Arrow batch pass over a tiny table."""
+    """(host, disallow array, allow array, crawl_delay_s, max_tokens)
+    from the raw robots table; parsing is one Arrow batch pass over a
+    tiny table."""
 
-    @F.pandas_udf("disallow array<string>, delay double")
+    @F.pandas_udf("disallow array<string>, allow array<string>, delay double")
     def parse(txt: pd.Series) -> pd.DataFrame:
         rows = [parse_robots(t) for t in txt]
-        return pd.DataFrame({"disallow": [r[0] for r in rows], "delay": [r[1] for r in rows]})
+        return pd.DataFrame(
+            {
+                "disallow": [r[0] for r in rows],
+                "allow": [r[1] for r in rows],
+                "delay": [r[2] for r in rows],
+            }
+        )
 
     out = robots.withColumn("_p", parse("robots_txt"))
     return out.select(
         "host",
         F.col("_p.disallow").alias("disallow"),
+        F.col("_p.allow").alias("allow"),
         F.coalesce(F.col("crawl_delay_s"), F.col("_p.delay"), F.lit(0.0)).alias("crawl_delay_s"),
         F.coalesce(F.col("max_tokens"), F.lit(2**31 - 1)).alias("max_tokens"),
     )
@@ -101,18 +115,28 @@ def host_budgets(
 
 
 def apply_robots_gate(selectable: DataFrame, rules: Optional[DataFrame]) -> DataFrame:
-    """Drop rows whose URL path hits a Disallow prefix for their host."""
+    """Drop rows blocked by their host's robots rules: RFC 9309
+    longest-match precedence — the longest matching Disallow prefix
+    blocks unless an Allow prefix of equal or greater length also
+    matches (Allow wins ties). With no Allow rules this degrades to the
+    plain any-Disallow-match gate. Pure JVM exprs (filter + aggregate
+    over the tiny broadcast rule arrays)."""
     if rules is None:
         return selectable
     gated = selectable.join(
-        F.broadcast(rules.select("host", "disallow")), "host", "left"
+        F.broadcast(rules.select("host", "disallow", "allow")), "host", "left"
     )
     path = F.parse_url("url", F.lit("PATH"))
-    blocked = F.exists(
-        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-        lambda p: path.startswith(p),
-    )
-    return gated.filter(~blocked).drop("disallow")
+
+    def longest_match(col: str):
+        matching = F.filter(
+            F.coalesce(F.col(col), F.array().cast("array<string>")),
+            lambda p: path.startswith(p),
+        )
+        return F.aggregate(matching, F.lit(0), lambda acc, p: F.greatest(acc, F.length(p)))
+
+    blocked = longest_match("disallow") > longest_match("allow")
+    return gated.filter(~blocked).drop("disallow", "allow")
 
 
 def select_round(

@@ -65,7 +65,7 @@ class ReferenceSimulator:
         self.round_seconds = round_seconds
         self.default_budget = default_budget if default_budget is not None else 2**62
         self.global_budget = global_budget
-        self.rules: dict[str, tuple[list[str], Optional[float]]] = {}
+        self.rules: dict[str, tuple[list[str], list[str], Optional[float]]] = {}
         self.max_tokens = max_tokens or {}
         # A5 quota: remaining api_requests per user (context.py:147-150);
         # users absent from the dict are unlimited
@@ -98,20 +98,25 @@ class ReferenceSimulator:
     def _host_budget(self, host: str) -> int:
         rule = self.rules.get(host)
         budget = self.default_budget if rule is None else 2**62
-        if rule is not None and rule[1]:
-            budget = min(budget, int(self.round_seconds / rule[1]))
+        if rule is not None and rule[2]:
+            budget = min(budget, int(self.round_seconds / rule[2]))
         if host in self.max_tokens:
             budget = min(budget, self.max_tokens[host])
         return budget
 
     def _disallowed(self, row: SimRow) -> bool:
+        # RFC 9309 longest-match: the longest matching Disallow prefix
+        # blocks unless an Allow prefix of >= length matches (Allow wins
+        # ties) — mirror of scheduler.apply_robots_gate
         rule = self.rules.get(row.host)
         if not rule:
             return False
         from urllib.parse import urlparse
 
         path = urlparse(row.url).path
-        return any(path.startswith(p) for p in rule[0])
+        maxd = max((len(p) for p in rule[0] if path.startswith(p)), default=0)
+        maxa = max((len(p) for p in rule[1] if path.startswith(p)), default=0)
+        return maxd > maxa
 
     # -- rounds ---------------------------------------------------------------
     def run_round(self, round_id: int) -> dict[str, Any]:
