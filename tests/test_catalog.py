@@ -69,3 +69,58 @@ def test_iceberg_catalog_gated(spark):
 
         with _pytest.raises(RuntimeError, match="Iceberg runtime"):
             CI.IcebergSnapshotCatalog(spark)
+
+
+def test_expire_snapshots_keeps_mor_chain(spark, tmp_path):
+    """Storage GC: snapshots older than the newest retained base are
+    deleted; the current merge-on-read state is bit-unchanged and resume
+    still works. Bounded storage at 10^10 scale depends on this."""
+    import os
+
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import (
+        FRONTIER_TABLE, CrawlConfig, load_frontier, run_crawl,
+    )
+
+    corpus = fixtures.write_corpus(spark, str(tmp_path / "c"), 60, 30, n_hosts=4)
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    # compact_every=3 so several bases + interleaved deltas exist
+    run_crawl(spark, cat, pages, seeds, cfg=CrawlConfig(max_rounds=8, compact_every=3, global_budget=6))
+
+    hist = cat.history(FRONTIER_TABLE)
+    bases = [m.snapshot_id for m in hist if m.metrics.get("kind", "base") == "base"]
+    assert len(bases) >= 2, "fixture must produce at least two bases"
+    before = {
+        (r["user_id"], r["job_id"], r["url_id"]): (r["status"], r["retries"], r["round"])
+        for r in load_frontier(spark, cat).collect()
+    }
+
+    expired = cat.expire_snapshots(FRONTIER_TABLE, keep_bases=1)
+    assert expired, "old snapshots should have been expired"
+    assert all(s < bases[-1] for s in expired)
+    # manifests + data gone
+    remaining = {m.snapshot_id for m in cat.history(FRONTIER_TABLE)}
+    assert remaining.isdisjoint(expired)
+    for m in hist:
+        assert os.path.isdir(m.data_path) == (m.snapshot_id in remaining)
+    # oldest retained snapshot is a base (MoR chain intact)
+    first = cat.history(FRONTIER_TABLE)[0]
+    assert first.metrics.get("kind", "base") == "base"
+
+    after = {
+        (r["user_id"], r["job_id"], r["url_id"]): (r["status"], r["retries"], r["round"])
+        for r in load_frontier(spark, cat).collect()
+    }
+    assert after == before
+    # resume continues cleanly from the retained chain
+    ms = run_crawl(spark, cat, pages, cfg=CrawlConfig(max_rounds=3, compact_every=3, global_budget=6))
+    assert ms, "resume after expiration must run"
+    # idempotent when nothing is expirable
+    cat.expire_snapshots(FRONTIER_TABLE, keep_bases=1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cat.expire_snapshots(FRONTIER_TABLE, keep_bases=0)

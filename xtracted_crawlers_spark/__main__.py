@@ -69,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--warehouse", required=True)
     h.add_argument("--table", default="frontier")
 
+    e = sub.add_parser(
+        "expire", help="storage GC: delete snapshots older than the newest "
+        "retained base (Iceberg expire_snapshots semantics; manifest-only, "
+        "no Spark session needed)"
+    )
+    e.add_argument("--warehouse", required=True)
+    e.add_argument("--table", default="frontier")
+    e.add_argument("--keep-bases", type=int, default=1)
+
     u = sub.add_parser(
         "urls", help="URL-level frontier state (the reference's list_crawler_urls/"
         "get_crawler_url service queries, E1/E2) — key filters push down to the scan"
@@ -81,6 +90,14 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "expire":  # manifest-only: no Spark session needed
+        from .catalog import ParquetSnapshotCatalog
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        expired = catalog.expire_snapshots(args.table, keep_bases=args.keep_bases)
+        print(json.dumps({"table": args.table, "expired": expired}))
+        return 0
 
     if args.cmd == "history":  # manifest-only: no Spark session needed
         from .catalog import ParquetSnapshotCatalog

@@ -156,3 +156,45 @@ class ParquetSnapshotCatalog:
         d = self._table_dir(table)
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+    # -- lifecycle ----------------------------------------------------------
+    def expire_snapshots(self, table: str, keep_bases: int = 1) -> list[int]:
+        """Storage GC (Iceberg expire_snapshots semantics): delete the
+        data + manifests of snapshots no current reader chain needs.
+
+        The merge-on-read reader (crawl.load_frontier) resolves state
+        from the NEWEST base snapshot plus every later delta, so every
+        snapshot strictly older than the keep_bases-th-newest base is
+        unreachable from current state and only serves time travel.
+        At a 10^10-row frontier each round adds a delta and every
+        compact_every rounds a full base — without expiration, storage
+        grows O(rounds); with keep_bases=1 it is bounded by one base +
+        compact_every deltas per table.
+
+        Returns the expired snapshot ids (possibly empty). keep_bases
+        must be >= 1: the newest base and everything after it are always
+        retained, so resume and the current MoR chain are unaffected;
+        time travel older than the retained window is gone — that is the
+        point."""
+        if keep_bases < 1:
+            raise ValueError("keep_bases must be >= 1")
+        hist = self.history(table)
+        bases = [
+            m.snapshot_id
+            for m in hist
+            if m.metrics.get("kind", "base") == "base"
+        ]
+        if len(bases) < keep_bases:
+            return []
+        cutoff = bases[-keep_bases]
+        expired = [m for m in hist if m.snapshot_id < cutoff]
+        for m in expired:
+            # manifest first: a crash between the two deletes must never
+            # leave a visible snapshot without data — the reverse order
+            # (data first) would
+            mpath = os.path.join(self._manifest_dir(table), f"{m.snapshot_id:06d}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+            if os.path.isdir(m.data_path):
+                shutil.rmtree(m.data_path)
+        return [m.snapshot_id for m in expired]
