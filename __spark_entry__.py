@@ -156,6 +156,53 @@ group by 1
 """
 
 
+def q_crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness gate itself, value-checked (round 4): per host a
+    Disallow prefix derived from the host number blocks ~1/16 of its
+    URLs and a longer Allow prefix re-allows ~1/16 of those — RFC 9309
+    longest-match with Allow winning ties, exercised through the
+    engine's scheduler.apply_robots_gate (JVM filter+aggregate over the
+    broadcast rule arrays). Output: URLs surviving the gate, per host."""
+    from xtracted_crawlers_spark import scheduler
+
+    sel = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey").select(
+        "url", urlnorm.host(F.col("url")).alias("host")
+    )
+    hn = F.regexp_extract(F.col("host"), "shop(\\d+)", 1).cast("int")
+    h1 = F.upper(F.conv((hn % 16).cast("string"), 10, 16))
+    h2 = F.upper(F.conv(((hn * 3 + 1) % 16).cast("string"), 10, 16))
+    rules = sel.select("host").distinct().select(
+        "host",
+        F.array(F.concat(F.lit("/dp/B0"), h1)).alias("disallow"),
+        F.array(F.concat(F.lit("/dp/B0"), h1, h2)).alias("allow"),
+    )
+    kept = scheduler.apply_robots_gate(sel, rules)
+    return kept.groupBy("host").agg(F.count("*").alias("n_allowed"))
+
+
+SQL_CRAWL_ROBOTS_GATE = f"""
+with u as (select {sql_url_from_key('o_orderkey')} as url from orders),
+s as (select url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+      from u),
+r as (select host, cast(regexp_extract(host, 'shop(\\d+)', 1) as int) as hn
+      from (select distinct host from s)),
+rules as (select host,
+            ['/dp/B0' || upper(to_hex(hn % 16))] as dis,
+            ['/dp/B0' || upper(to_hex((hn % 16))) || upper(to_hex((hn * 3 + 1) % 16))] as alw
+          from r),
+g as (select s.host,
+        coalesce(list_max(list_transform(
+          list_filter(rules.dis, p -> s.path like p || '%'), p -> length(p))), 0) as maxd,
+        coalesce(list_max(list_transform(
+          list_filter(rules.alw, p -> s.path like p || '%'), p -> length(p))), 0) as maxa
+      from s join rules using (host))
+select host, count(*) as n_allowed
+from g where not (maxd > maxa)
+group by host
+"""
+
+
 def q_crawl_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1313,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_topk_per_host": q_crawl_topk_per_host,
         "crawl_seq_assign": q_crawl_seq_assign,
         "crawl_fetch_join": q_crawl_fetch_join,
+        "crawl_robots_gate": q_crawl_robots_gate,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
         "crawl_reset_fanout": q_crawl_reset_fanout,
@@ -1363,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_topk_per_host": SQL_CRAWL_TOPK_PER_HOST,
         "crawl_seq_assign": SQL_CRAWL_SEQ_ASSIGN,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
+        "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,
         "crawl_reset_fanout": SQL_CRAWL_RESET_FANOUT,
