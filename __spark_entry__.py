@@ -545,6 +545,44 @@ select doc_a, doc_b, est_sim from est where est_sim >= 0.25
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup: even doc_ids are the signed corpus
+    (only their SIGNATURES are consumed — the operator never re-reads
+    corpus text), odd doc_ids are the new batch. Exercises
+    dedup.incremental_minhash_pairs end-to-end: batch-vs-corpus band
+    join plus batch-internal self-join, tagged by ``vs``."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_sigs = dedup.minhash_signatures(corpus, n=3)
+    return dedup.incremental_minhash_pairs(corpus_sigs, batch, n=3, threshold=0.25)
+
+
+def _sql_incremental() -> str:
+    sig_cols = ", ".join(f"min(md5(shingle || '#{j}')) as s{j}" for j in range(_N_PERMS))
+    band_elems = ", ".join(
+        f"'{b}' || '|' || s{2*b} || '|' || s{2*b+1}" for b in range(_N_PERMS // 2)
+    )
+    eq_sum = " + ".join(f"cast(sa.s{j} = sb.s{j} as int)" for j in range(_N_PERMS))
+    return f"""
+with {_SQL_SHINGLES},
+sig as (select doc_id, {sig_cols} from sh group by doc_id),
+bands as (select doc_id, unnest([{band_elems}]) as band_key from sig),
+cand as (select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                case when b.doc_id % 2 = 0 then 'corpus' else 'batch' end as vs
+         from bands a join bands b using (band_key)
+         where a.doc_id % 2 = 1
+           and (b.doc_id % 2 = 0 or a.doc_id < b.doc_id)),
+est as (select doc_a, doc_b,
+          round(cast({eq_sum} as double) / {_N_PERMS}, 4) as est_sim, vs
+        from cand join sig sa on sa.doc_id = doc_a join sig sb on sb.doc_id = doc_b)
+select doc_a, doc_b, est_sim, vs from est where est_sim >= 0.25
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_incremental()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
@@ -1382,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         # similarity search
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1431,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
         "sim_near_dup": SQL_SIM_NEAR_DUP,

@@ -77,6 +77,32 @@ def test_minhash_estimates_track_jaccard(spark, sf_dir):
     assert len(hits) >= len(exact) * 0.5  # LSH finds most strong pairs
 
 
+def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
+    """The exactness contract of the continuous-ingest path: incremental
+    (corpus signatures + batch text) must equal the full minhash_lsh run
+    over corpus ∪ batch, restricted to pairs touching ≥1 batch doc —
+    same pairs, same est_sim. Also proves the corpus side works from
+    signatures alone (text column dropped before the call)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_sigs = dedup.minhash_signatures(corpus).select("doc_id", "sig")
+    inc = {
+        frozenset((r["doc_a"], r["doc_b"])): (r["est_sim"], r["vs"])
+        for r in dedup.incremental_minhash_pairs(corpus_sigs, batch, threshold=0.2).collect()
+    }
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): r["est_sim"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+        if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1
+    }
+    assert set(inc) == set(full)
+    assert full, "corpus should contain cross-parity near-dups"
+    for pair, (sim, vs) in inc.items():
+        assert sim == full[pair]
+        assert vs == ("batch" if all(d % 2 == 1 for d in pair) else "corpus")
+
+
 def test_minhash_plan_has_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()

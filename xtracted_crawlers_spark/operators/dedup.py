@@ -153,6 +153,32 @@ def minhash_signatures(docs: DataFrame, n: int = 3, n_perms: int = N_PERMS) -> D
     return out.select("doc_id", sig.alias("sig"))
 
 
+def _band_key_array(n_perms: int, band_size: int):
+    """Per-row array of band keys from a ``sig`` column: band index ||
+    the band's signature slots, joined with '|'. Pure projection."""
+    n_bands = n_perms // band_size
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col("sig")[b * band_size + k] for k in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def sig_bands(sigs: DataFrame, n_perms: int = N_PERMS, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_key) exploded from a signatures table — map-only
+    (no shuffle): banding is a projection of the already-computed
+    signature, so re-deriving bands from persisted signatures never
+    touches the document text."""
+    return sigs.select(
+        "doc_id", F.explode(_band_key_array(n_perms, band_size)).alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -173,22 +199,7 @@ def minhash_lsh_pairs(
     band_cap=None keeps the exact banding semantics (the oracle
     baseline)."""
     sig = minhash_signatures(docs, n, n_perms).cache()
-    n_bands = n_perms // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[F.col("sig")[b * band_size + k] for k in range(band_size)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    bands = sig_bands(sig, n_perms, band_size)
     if band_cap is not None:
         keep = (
             bands.groupBy("band_key")
@@ -207,23 +218,108 @@ def minhash_lsh_pairs(
     est = (
         cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
-        .withColumn(
-            "est_sim",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                ).cast("double")
-                / F.lit(n_perms),
-                4,
-            ),
-        )
+        .withColumn("est_sim", _matching_slot_fraction(n_perms))
         .filter(F.col("est_sim") >= threshold)
         .select("doc_a", "doc_b", "est_sim")
     )
     return est
+
+
+def _matching_slot_fraction(n_perms: int):
+    """est_sim expression over (sig_a, sig_b) columns: fraction of equal
+    signature slots, rounded to 4dp (both engines round half-even on
+    exact /8 fractions, so the oracle reproduces it byte-for-byte)."""
+    return F.round(
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / F.lit(n_perms),
+        4,
+    )
+
+
+def incremental_minhash_pairs(
+    corpus_sigs: DataFrame,
+    batch_docs: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+    band_cap: Optional[int] = None,
+) -> DataFrame:
+    """Continuous-ingest near-dup: a NEW batch of documents checked
+    against an already-signed corpus — without ever re-reading the
+    corpus text. Output (doc_a, doc_b, est_sim, vs) where doc_a is
+    always the batch doc and vs ∈ {'corpus','batch'} says whether doc_b
+    came from the persisted corpus or from within the batch itself.
+
+    This is THE dedup path for a growing 100-TB corpus: re-running
+    ``minhash_lsh_pairs`` over corpus ∪ batch re-shingles the full
+    corpus every ingest (O(corpus) text scans per day); here the corpus
+    state is its signatures table (``minhash_signatures`` output,
+    n_perms md5 strings per doc — persisted once via the snapshot
+    catalog and appended per ingest), bands are re-derived from it
+    map-only (``sig_bands``, a projection — zero shuffle), and only the
+    batch text is shingled. The band joins put the SMALL batch side
+    against the corpus band table, so AQE broadcasts the batch bands
+    and the corpus streams through once; the batch-internal self-join
+    is batch-sized. Exactness: identical to ``minhash_lsh_pairs`` over
+    corpus ∪ batch restricted to pairs touching ≥1 batch doc (given
+    disjoint doc_ids, which the caller owns) — property-tested.
+
+    band_cap drops hot band buckets (boilerplate) independently per
+    side: bucket size counted in the corpus for the corpus join and in
+    the batch for the self-join, mirroring ``minhash_lsh_pairs``."""
+    batch_sigs = minhash_signatures(batch_docs, n, n_perms).cache()
+    bb = sig_bands(batch_sigs, n_perms, band_size)
+    cb = sig_bands(corpus_sigs.select("doc_id", "sig"), n_perms, band_size)
+    if band_cap is not None:
+        keep_c = (
+            cb.groupBy("band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= band_cap)
+            .select("band_key")
+        )
+        cb = cb.join(keep_c, "band_key")
+        keep_b = (
+            bb.groupBy("band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= band_cap)
+            .select("band_key")
+        )
+        bb = bb.join(keep_b, "band_key")
+
+    def scored(cand: DataFrame, b_sigs: DataFrame, tag: str) -> DataFrame:
+        return (
+            cand.join(
+                batch_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+                "doc_a",
+            )
+            .join(
+                b_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+                "doc_b",
+            )
+            .withColumn("est_sim", _matching_slot_fraction(n_perms))
+            .filter(F.col("est_sim") >= threshold)
+            .select("doc_a", "doc_b", "est_sim", F.lit(tag).alias("vs"))
+        )
+
+    cand_corpus = (
+        bb.alias("a")
+        .join(cb.alias("b"), "band_key")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_batch = (
+        bb.alias("a")
+        .join(bb.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return scored(cand_corpus, corpus_sigs, "corpus").unionByName(
+        scored(cand_batch, batch_sigs, "batch")
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

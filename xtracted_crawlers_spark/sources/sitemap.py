@@ -1,0 +1,125 @@
+"""Sitemap source: sitemap.xml / sitemap-index parsing as a seed channel.
+
+The reference's only seed source is the job payload's explicit URL list
+(crawlers_services.py:76-95 inserts the submitted urls); sitemaps are the
+web-native seed channel a Common-Crawl-scale crawler actually harvests,
+so this source is NEW surface, documented as such. It turns fetched
+sitemap bodies (already in the pages table — a sitemap is just a URL the
+crawler fetched) into seed rows for ``frontier.ingest_seeds``.
+
+Scale shape: parsing is pure JVM regexp (codegen'd, map-only — zero
+Python, zero shuffle until the seed-ordering window, which runs over the
+extracted seed list, not the corpus). Supported subset of the sitemap
+protocol (sitemaps.org, 2008): ``<urlset><url><loc>/<lastmod>`` and
+``<sitemapindex><sitemap><loc>/<lastmod>``, attributes on the container
+tags tolerated, un-prefixed tag names only, no CDATA — the same
+documented-regex-subset policy as linkgraph.HREF_PATTERN. Per the spec
+``<loc>`` must be absolute, but relative locs resolve against the
+sitemap's own URL (same RFC 3986 resolver as link extraction, so dot
+segments normalize identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.linkgraph import _resolve_expr
+
+# (?s): blocks span lines. \b keeps <url> from matching <urlset> — both
+# Java regex and DuckDB's RE2 support \b and (?s), so the DuckDB oracle
+# runs the identical patterns.
+URL_BLOCK_RE = "(?s)<url\\b[^>]*>(.*?)</url>"
+SITEMAP_BLOCK_RE = "(?s)<sitemap\\b[^>]*>(.*?)</sitemap>"
+LOC_RE = "<loc>\\s*([^<]*?)\\s*</loc>"
+LASTMOD_RE = "<lastmod>\\s*([^<]*?)\\s*</lastmod>"
+
+
+def _entries_of_kind(sitemaps: DataFrame, url_col: str, xml_col: str, block_re: str, kind: str) -> DataFrame:
+    blocks = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.posexplode(F.regexp_extract_all(F.col(xml_col), F.lit(block_re), F.lit(1))).alias(
+            "pos", "block"
+        ),
+    )
+    loc = F.regexp_extract("block", LOC_RE, 1)
+    lastmod = F.regexp_extract("block", LASTMOD_RE, 1)
+    return (
+        blocks.withColumn("_loc", loc)
+        .filter(F.col("_loc") != "")
+        .select(
+            "sitemap_url",
+            F.lit(kind).alias("kind"),
+            F.col("pos").cast("int").alias("pos"),
+            _resolve_expr(F.col("sitemap_url"), F.col("_loc")).alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+    )
+
+
+def sitemap_entries(sitemaps: DataFrame, url_col: str = "url", xml_col: str = "body") -> DataFrame:
+    """(sitemap_url, kind, pos, loc, lastmod) for every entry of every
+    sitemap document: kind='url' from <urlset> entries (crawlable pages),
+    kind='sitemap' from <sitemapindex> entries (nested sitemaps the
+    caller fetches next round — one level per fetch round, exactly how a
+    polite crawler walks an index). pos is the entry's in-document
+    position (sitemap order = the publisher's discovery order)."""
+    return _entries_of_kind(sitemaps, url_col, xml_col, URL_BLOCK_RE, "url").unionByName(
+        _entries_of_kind(sitemaps, url_col, xml_col, SITEMAP_BLOCK_RE, "sitemap")
+    )
+
+
+def seeds_from_sitemaps(
+    sitemaps: DataFrame,
+    user_id: str,
+    job_id: int,
+    url_col: str = "url",
+    xml_col: str = "body",
+) -> DataFrame:
+    """Seed rows (user_id, job_id, seed_idx, url) ready for
+    ``frontier.ingest_seeds``: page entries only, first-wins on duplicate
+    locs across sitemaps, seed_idx = global discovery order
+    (sitemap_url, in-document position). The ordering window runs over
+    the seed list (size = entries, not corpus) and ingest_seeds re-checks
+    against the frontier's seen set, so re-harvesting the same sitemaps
+    next round is idempotent."""
+    entries = sitemap_entries(sitemaps, url_col, xml_col).filter(F.col("kind") == "url")
+    w_dup = Window.partitionBy("loc").orderBy("sitemap_url", "pos")
+    first = (
+        entries.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_idx = Window.orderBy("sitemap_url", "pos")
+    return first.select(
+        F.lit(user_id).alias("user_id"),
+        F.lit(job_id).cast("long").alias("job_id"),
+        (F.row_number().over(w_idx) - 1).cast("int").alias("seed_idx"),
+        F.col("loc").alias("url"),
+    )
+
+
+def render_sitemap(urls: DataFrame, group_col: str, loc_col: str, lastmod_col=None) -> DataFrame:
+    """Fixture twin: render one <urlset> document per group from a URL
+    table — (url, body) rows shaped like fetched sitemap pages. Used by
+    tests and the contract query so parse ∘ render is checkable against
+    an independent oracle; deterministic (entries sorted by loc)."""
+    lastmod = (
+        F.concat(F.lit("<lastmod>"), F.col(lastmod_col), F.lit("</lastmod>"))
+        if lastmod_col
+        else F.lit("")
+    )
+    entry = F.concat(F.lit("<url><loc>"), F.col(loc_col), F.lit("</loc>"), lastmod, F.lit("</url>"))
+    return (
+        urls.select(F.col(group_col).alias("g"), entry.alias("e"), F.col(loc_col).alias("_loc"))
+        .groupBy("g")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("_loc", "e"))).e, "").alias("entries"))
+        .select(
+            F.concat(F.lit("https://"), F.col("g"), F.lit("/sitemap.xml")).alias("url"),
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+                F.col("entries"),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
