@@ -203,6 +203,73 @@ group by host
 """
 
 
+def q_crawl_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source (round 4, new surface): per-host <urlset> documents
+    rendered deterministically from orders-derived URLs (lastmod =
+    o_orderdate) plus one <sitemapindex> listing every host sitemap, all
+    parsed back through sources.sitemap.sitemap_entries — the pure-JVM
+    regexp parse, kind-tagged, position-carrying, lastmod-nullable. The
+    oracle renders and parses with the identical patterns in DuckDB."""
+    from xtracted_crawlers_spark.sources import sitemap as sm
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 600)
+    urls = o.select(
+        urlgen.url_from_key(F.col("o_orderkey")).alias("u"),
+        F.col("o_orderdate").cast("string").alias("lm"),
+    ).withColumn("h", urlnorm.host(F.col("u")))
+    sms = sm.render_sitemap(urls, "h", "u", "lm")
+    idx = (
+        sms.select(F.col("url").alias("_loc"))
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("_loc")),
+                        lambda s: F.concat(F.lit("<sitemap><loc>"), s, F.lit("</loc></sitemap>")),
+                    ),
+                    "",
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("body")
+        )
+        .select(F.lit("https://seeds.example.test/sitemap_index.xml").alias("url"), "body")
+    )
+    return sm.sitemap_entries(sms.unionByName(idx), "url", "body")
+
+
+SQL_CRAWL_SITEMAP_SEEDS = f"""
+with u as (select {sql_url_from_key('o_orderkey')} as u, cast(o_orderdate as varchar) as lm
+           from orders where o_orderkey <= 600),
+h as (select u, lm, lower(regexp_extract(u, {NETLOC_RE_SQL}, 1)) as g from u),
+doc as (select 'https://' || g || '/sitemap.xml' as su,
+               '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+               || string_agg('<url><loc>' || u || '</loc><lastmod>' || lm || '</lastmod></url>',
+                             '' order by u, lm)
+               || '</urlset>' as body
+        from h group by g),
+idx as (select 'https://seeds.example.test/sitemap_index.xml' as su,
+               '<sitemapindex>'
+               || string_agg('<sitemap><loc>' || su || '</loc></sitemap>', '' order by su)
+               || '</sitemapindex>' as body
+        from doc),
+alldocs as (select su, body from doc union all select su, body from idx),
+bu as (select su, regexp_extract_all(body, '(?s)<url\\b[^>]*>(.*?)</url>', 1) as blocks,
+              'url' as kind from alldocs),
+bs as (select su, regexp_extract_all(body, '(?s)<sitemap\\b[^>]*>(.*?)</sitemap>', 1) as blocks,
+              'sitemap' as kind from alldocs),
+bb as (select * from bu union all select * from bs),
+e0 as (select su, kind, blocks, unnest(generate_series(1, len(blocks))) as p from bb),
+e1 as (select su as sitemap_url, kind, cast(p - 1 as int) as pos,
+              regexp_extract(blocks[p], '<loc>\\s*([^<]*?)\\s*</loc>', 1) as loc,
+              regexp_extract(blocks[p], '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1) as lastmod
+       from e0)
+select sitemap_url, kind, pos, loc,
+       case when lastmod <> '' then lastmod end as lastmod
+from e1 where loc <> ''
+"""
+
+
 def q_crawl_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1399,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seq_assign": q_crawl_seq_assign,
         "crawl_fetch_join": q_crawl_fetch_join,
         "crawl_robots_gate": q_crawl_robots_gate,
+        "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
         "crawl_reset_fanout": q_crawl_reset_fanout,
@@ -1451,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seq_assign": SQL_CRAWL_SEQ_ASSIGN,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
+        "crawl_sitemap_seeds": SQL_CRAWL_SITEMAP_SEEDS,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,
         "crawl_reset_fanout": SQL_CRAWL_RESET_FANOUT,

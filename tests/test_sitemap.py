@@ -1,0 +1,119 @@
+"""Sitemap source: parse subset, seed ordering, index walking, and the
+sitemap → frontier ingest loop (idempotent re-harvest)."""
+
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark import frontier
+from xtracted_crawlers_spark.sources import sitemap
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc> https://a.test/p/1 </loc><lastmod>2026-01-02</lastmod></url>
+<url><loc>/rel/2?x=1</loc></url>
+<url><loc>../up/3</loc><lastmod>2026-02-03T04:05:06Z</lastmod></url>
+<url><loc></loc></url>
+<url><loc>https://a.test/p/1</loc></url>
+</urlset>"""
+
+INDEX = """<sitemapindex>
+<sitemap><loc>https://a.test/sm/part1.xml</loc><lastmod>2026-03-01</lastmod></sitemap>
+<sitemap><loc>part2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [("https://a.test/x/sitemap.xml", URLSET), ("https://a.test/sm/index.xml", INDEX)],
+        "url string, body string",
+    )
+
+
+def test_entries_parse_subset(spark):
+    rows = {
+        (r["kind"], r["pos"]): r
+        for r in sitemap.sitemap_entries(_docs(spark)).collect()
+    }
+    # urlset: trimmed, relative + dot-segment locs resolved, empty dropped
+    assert rows[("url", 0)]["loc"] == "https://a.test/p/1"
+    assert rows[("url", 0)]["lastmod"] == "2026-01-02"
+    assert rows[("url", 1)]["loc"] == "https://a.test/rel/2?x=1"
+    assert rows[("url", 1)]["lastmod"] is None
+    assert rows[("url", 2)]["loc"] == "https://a.test/up/3"
+    # the empty <loc> entry is dropped but later positions keep their pos
+    assert rows[("url", 4)]["loc"] == "https://a.test/p/1"
+    # index: nested sitemaps tagged 'sitemap', relative loc resolves
+    # against the index URL (urlset has no <sitemap> rows and vice versa)
+    assert rows[("sitemap", 0)]["loc"] == "https://a.test/sm/part1.xml"
+    assert rows[("sitemap", 1)]["loc"] == "https://a.test/sm/part2.xml"
+    assert len([k for k in rows if k[0] == "url"]) == 4
+    assert len([k for k in rows if k[0] == "sitemap"]) == 2
+
+
+def test_seeds_first_wins_and_order(spark):
+    seeds = sitemap.seeds_from_sitemaps(_docs(spark), "u1", 7).collect()
+    # duplicate loc (pos 0 and 4) keeps the first occurrence only
+    urls = [r["url"] for r in sorted(seeds, key=lambda r: r["seed_idx"])]
+    assert urls == [
+        "https://a.test/p/1",
+        "https://a.test/rel/2?x=1",
+        "https://a.test/up/3",
+    ]
+    assert [r["seed_idx"] for r in sorted(seeds, key=lambda r: r["seed_idx"])] == [0, 1, 2]
+    assert all(r["user_id"] == "u1" and r["job_id"] == 7 for r in seeds)
+
+
+PRODUCT_URLSET = """<urlset>
+<url><loc>https://a.test/dp/B011111111</loc></url>
+<url><loc>/dp/B022222222?ref=sm</loc></url>
+<url><loc>https://a.test/about</loc></url>
+</urlset>"""
+
+
+def test_index_walk_then_ingest_idempotent(spark):
+    """The crawl-loop usage: round N fetches the index, kind='sitemap'
+    rows become next round's fetches, their urlset entries become seeds;
+    unroutable locs drop at ingest (extractor_factory returns None) and
+    re-harvesting the same sitemaps adds zero new frontier rows."""
+    entries = sitemap.sitemap_entries(_docs(spark))
+    nested = [r["loc"] for r in entries.filter(F.col("kind") == "sitemap").collect()]
+    assert nested == ["https://a.test/sm/part1.xml", "https://a.test/sm/part2.xml"]
+    prod = spark.createDataFrame(
+        [("https://a.test/products/sitemap.xml", PRODUCT_URLSET)], "url string, body string"
+    )
+    part = spark.createDataFrame(
+        [(nested[0], "<urlset><url><loc>https://a.test/dp/B033333333</loc></url></urlset>")],
+        "url string, body string",
+    )
+    seeds1 = sitemap.seeds_from_sitemaps(prod, "u1", 7)
+    assert seeds1.count() == 3  # harvest keeps all locs; routing is ingest's job
+    fr = frontier.ingest_seeds(seeds1)
+    n1 = fr.count()
+    assert n1 == 2  # /about routes to no extractor and is dropped
+    # nested sitemap fetched next round: its seeds append with higher seq
+    seeds2 = sitemap.seeds_from_sitemaps(part, "u1", 7)
+    new2 = frontier.ingest_seeds(seeds2, frontier=fr)
+    assert new2.count() == 1
+    assert new2.select(F.min("job_urls_seq")).first()[0] == n1 + 1
+    fr2 = fr.unionByName(new2)
+    # idempotent re-harvest of everything seen so far
+    again = frontier.ingest_seeds(
+        sitemap.seeds_from_sitemaps(prod, "u1", 7).unionByName(
+            sitemap.seeds_from_sitemaps(part, "u1", 7)
+        ),
+        frontier=fr2,
+    )
+    assert again.count() == 0
+
+
+def test_render_parse_roundtrip(spark, sf_dir):
+    """render_sitemap ∘ sitemap_entries is the identity on the URL set
+    (per host, sorted) — the fixture twin is honest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    urls = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"), F.lit(".test/d/"),
+                 F.col("doc_id").cast("string")).alias("u"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".test")).alias("g"),
+    )
+    rendered = sitemap.render_sitemap(urls, "g", "u")
+    parsed = sitemap.sitemap_entries(rendered).filter(F.col("kind") == "url")
+    assert sorted(r["loc"] for r in parsed.collect()) == sorted(r["u"] for r in urls.collect())
