@@ -270,6 +270,85 @@ from e1 where loc <> ''
 """
 
 
+def q_crawl_priority_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-driven scheduling (round 4, new surface): host in-degree
+    from the synthetic link structure (the q_link_extract pages) becomes
+    a log-decade priority bucket (scheduler.priority_decade — per-row,
+    shuffle-free), stamped on the frontier (with_host_priority), then
+    the REAL scheduler cuts the round: per-host rank by
+    (priority, seq, …) ≤ budget 5, global ordered cut at 100. High
+    in-degree hosts jump the global queue ahead of FIFO order."""
+    from pyspark.sql import Window
+
+    from xtracted_crawlers_spark import scheduler
+
+    o = _t(spark, sf_dir, "orders")
+    sel = o.select(
+        F.col("o_orderkey").alias("k"),
+        urlgen.url_from_key(F.col("o_orderkey")).alias("url"),
+    )
+    sel = sel.select(
+        "k",
+        "url",
+        F.concat(F.lit("u"), (F.col("k") % 5).cast("string")).alias("user_id"),
+        (F.col("k") % 3).cast("long").alias("job_id"),
+        F.regexp_extract(urlnorm.url_path(F.col("url")), urlnorm.ASIN_PATH_RE, 1).alias("url_id"),
+        urlnorm.host(F.col("url")).alias("host"),
+    )
+    w = Window.partitionBy("user_id").orderBy("k")
+    sel = sel.withColumn("job_urls_seq", F.row_number().over(w).cast("long"))
+    # authority: in-degree over a power-law-ish link graph — each page
+    # links to host (k % (1 + k % 50)), so low-numbered hosts collect
+    # harmonically more in-links (~2-3 decades of spread), exercising
+    # multiple priority buckets in the cut
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    pages = o.select(
+        urlgen.url_from_key(F.col("o_orderkey")).alias("url"),
+        F.concat(
+            F.lit('<a href="'),
+            urlgen.url_from_key(F.col("o_orderkey") % (1 + F.col("o_orderkey") % 50)),
+            F.lit('">l</a>'),
+        ).alias("html"),
+    )
+    scores = (
+        linkgraph.extract_links(pages)
+        .select(urlnorm.host(F.col("dst")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("score"))
+    )
+    prioritized = scheduler.with_host_priority(sel, scores, n_buckets=4)
+    cut = scheduler.select_round(prioritized, rules=None, default_budget=5, global_budget=100)
+    return cut.select("host", "url_id", "priority", "job_urls_seq")
+
+
+SQL_CRAWL_PRIORITY_SCHEDULE = f"""
+with u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url from orders),
+sel0 as (select k, url,
+           'u' || cast(k % 5 as varchar) as user_id,
+           k % 3 as job_id,
+           regexp_extract(url, {ASIN_RE_SQL}, 1) as url_id,
+           lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host
+         from u),
+sel as (select *, row_number() over (partition by user_id order by k) as job_urls_seq from sel0),
+p as (select '<a href="' || {sql_url_from_key('o_orderkey % (1 + o_orderkey % 50)')}
+          || '">l</a>' as html
+      from orders),
+l0 as (select unnest(regexp_extract_all(html, 'href=["'']([^"''<>]+)["'']', 1)) as dst0 from p),
+l as (select string_split(dst0, '#')[1] as dst from l0 where string_split(dst0, '#')[1] <> ''),
+sc as (select lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as host, count(*) as score
+       from l group by 1),
+pri as (select host, greatest(0, 4 - length(cast(cast(score as bigint) as varchar))) as hp from sc),
+fr as (select sel.*, cast(coalesce(pri.hp, 4) as int) as priority
+       from sel left join pri using (host)),
+r as (select *, row_number() over (partition by host
+          order by priority, job_urls_seq, user_id, job_id, url_id) as hr from fr),
+cut as (select * from r where hr <= 5)
+select host, url_id, priority, job_urls_seq from cut
+order by priority, job_urls_seq, user_id, job_id, url_id limit 100
+"""
+
+
 def q_crawl_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1467,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_join": q_crawl_fetch_join,
         "crawl_robots_gate": q_crawl_robots_gate,
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
+        "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
         "crawl_reset_fanout": q_crawl_reset_fanout,
@@ -1520,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_sitemap_seeds": SQL_CRAWL_SITEMAP_SEEDS,
+        "crawl_priority_schedule": SQL_CRAWL_PRIORITY_SCHEDULE,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,
         "crawl_reset_fanout": SQL_CRAWL_RESET_FANOUT,

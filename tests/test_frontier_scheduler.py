@@ -244,3 +244,47 @@ def test_allow_overrides_disallow_longest_match(spark):
     ])
     blocked = {r.url_id for r in sim.rows.values() if sim._disallowed(r)}
     assert blocked == {"B000000001"}
+
+
+def test_priority_decade_buckets(spark):
+    rows = [(h, s) for h, s in [("a", 1), ("b", 9), ("c", 10), ("d", 99),
+                                ("e", 100), ("f", 999), ("g", 1000), ("h", 123456)]]
+    df = spark.createDataFrame(rows, "host string, score long")
+    got = {r["host"]: r["p"] for r in df.select(
+        "host", scheduler.priority_decade("score", 4).alias("p")).collect()}
+    assert got == {"a": 3, "b": 3, "c": 2, "d": 2, "e": 1, "f": 1, "g": 0, "h": 0}
+
+
+def test_host_priority_reorders_global_cut(spark):
+    """Authority beats FIFO across hosts: with a global budget smaller
+    than the frontier, the high-score host's URLs are selected even
+    though every one of its seqs is later than the low-score host's —
+    and within each host, FIFO order is preserved (reference parity:
+    constant priority degrades to pure FIFO)."""
+    rows = (
+        [(U1, 100, i, f"https://cold.test/dp/B00000000{i}") for i in range(4)]
+        + [(U1, 100, 10 + i, f"https://hot.test/dp/B00000001{i}") for i in range(4)]
+    )
+    fr = FR.ingest_seeds(_seeds(spark, rows))
+    scores = spark.createDataFrame(
+        [("hot.test", 5000), ("cold.test", 3)], "host string, score long"
+    )
+    sel = FR.selectable(fr)
+    prioritized = scheduler.with_host_priority(sel, scores, n_buckets=4)
+    cut = scheduler.select_round(prioritized, rules=None, global_budget=5).collect()
+    picked = [(r["host"], r["job_urls_seq"]) for r in
+              sorted(cut, key=lambda r: (r["priority"], r["job_urls_seq"]))]
+    # all 4 hot rows first (priority 0), then the earliest cold row
+    assert [h for h, _ in picked] == ["hot.test"] * 4 + ["cold.test"]
+    assert [s for h, s in picked if h == "hot.test"] == sorted(
+        s for h, s in picked if h == "hot.test")
+    # constant scores (same bucket) degrade to the FIFO schedule
+    flat = spark.createDataFrame(
+        [("hot.test", 7), ("cold.test", 7)], "host string, score long"
+    )
+    flat_cut = scheduler.select_round(
+        scheduler.with_host_priority(sel, flat), rules=None, global_budget=5
+    ).collect()
+    fifo_cut = scheduler.select_round(sel, rules=None, global_budget=5).collect()
+    key = lambda r: (r["user_id"], r["job_id"], r["url_id"])
+    assert sorted(map(key, flat_cut)) == sorted(map(key, fifo_cut))

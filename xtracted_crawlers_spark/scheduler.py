@@ -182,6 +182,47 @@ def select_round(
     return cut.drop("_host_rank")
 
 
+def priority_decade(score_col, n_buckets: int = 4):
+    """Authority score → small-int priority bucket, 0 = most
+    authoritative = scheduled first (select_round orders by priority
+    before FIFO seq). Log-decade bucketing: priority =
+    max(0, n_buckets - digits(score)) — scores 1-9 land in the last
+    bucket, 10-99 one earlier, ≥10^(n_buckets-1) in bucket 0. Chosen
+    over ntile/percentile for the 100-TB path: it is a PER-ROW
+    expression (zero shuffle, no single-partition ranking window over
+    the host table) and exact in integer arithmetic, so the DuckDB
+    oracle reproduces it byte-for-byte (float log2 differs in ULPs
+    between engines at power-of-two boundaries). Natural fit for
+    power-law link-degree scores, where decade = authority tier."""
+    digits = F.length(F.col(score_col).cast("long").cast("string"))
+    return F.greatest(F.lit(0), F.lit(n_buckets) - digits).cast("int")
+
+
+def with_host_priority(
+    frontier_df: DataFrame,
+    host_scores: DataFrame,
+    n_buckets: int = 4,
+    score_col: str = "score",
+) -> DataFrame:
+    """Stamp per-host crawl priority from an authority score table
+    (host, score) — e.g. linkgraph.host_degrees in-degree or PageRank —
+    onto frontier rows. Hosts without a score sort after every scored
+    bucket (priority = n_buckets). The scores table is one row per host
+    (small side); the hint is left to AQE, which broadcasts when it
+    actually is. This is the frontier-priority composition the
+    north_star's 'host-partitioned priority queues' implies beyond the
+    reference's constant priority 0 (pg_crawl_job_worker inserts have
+    no priority column at all — new surface, documented)."""
+    pr = host_scores.select(
+        "host", priority_decade(score_col, n_buckets).alias("_hp")
+    )
+    return (
+        frontier_df.join(pr, "host", "left")
+        .withColumn("priority", F.coalesce(F.col("_hp"), F.lit(n_buckets)).cast("int"))
+        .drop("_hp")
+    )
+
+
 def salted_repartition(df: DataFrame, salt_n: int = 16, partitions: Optional[int] = None) -> DataFrame:
     """Spread hot hosts across partitions for the fetch/extract stage."""
     key = urlnorm.salted_host(F.col("host"), F.col("job_urls_seq"), salt_n)
