@@ -117,3 +117,67 @@ def test_render_parse_roundtrip(spark, sf_dir):
     rendered = sitemap.render_sitemap(urls, "g", "u")
     parsed = sitemap.sitemap_entries(rendered).filter(F.col("kind") == "url")
     assert sorted(r["loc"] for r in parsed.collect()) == sorted(r["u"] for r in urls.collect())
+
+
+def test_crawl_from_sitemap_channel(spark, tmp_path):
+    """End-to-end: cfg.sitemap_seeds harvests an index -> urlsets walk
+    from the pages table itself, ingests the product locs as seeds under
+    the sitemap user, and the crawl completes exactly those URLs."""
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    pages = fixtures.gen_pages(spark, 30, n_hosts=3)
+    listed = [r["url"] for r in pages.orderBy("url").limit(6).collect()]
+    part = lambda i: f"https://seeds.test/sm/part{i}.xml"
+    urlset = lambda urls: "<urlset>" + "".join(
+        f"<url><loc>{u}</loc></url>" for u in urls) + "</urlset>"
+    sm_rows = [
+        ("https://seeds.test/sitemap.xml",
+         f"<sitemapindex><sitemap><loc>{part(1)}</loc></sitemap>"
+         f"<sitemap><loc>{part(2)}</loc></sitemap></sitemapindex>".encode()),
+        (part(1), urlset(listed[:3]).encode()),
+        (part(2), urlset(listed[3:]).encode()),
+    ]
+    sm_df = spark.createDataFrame(sm_rows, "url string, html binary").select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit(None).cast("string").alias("text"), F.lit(None).cast("string").alias("lang"),
+    )
+    all_pages = pages.select("url", "warc_ts", "html", "text", "lang").unionByName(sm_df)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=5, sitemap_seeds=["https://seeds.test/sitemap.xml"])
+    metrics = run_crawl(spark, cat, all_pages, seeds=None, cfg=cfg)
+    assert sum(m.get("completed", 0) for m in metrics) == 6
+    fr = load_frontier(spark, cat)
+    done = fr.filter(F.col("status") == "complete")
+    assert sorted(r["url"] for r in done.collect()) == sorted(listed)
+    assert all(r["user_id"] == "sitemap" for r in done.collect())
+
+
+def test_crawl_priority_from_scores(spark, tmp_path):
+    """host_scores at bootstrap reorder the crawl: with a global budget
+    of one round's worth, the authoritative host completes first even
+    though its seeds were submitted last."""
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    pages = fixtures.gen_pages(spark, 40, n_hosts=4)
+    hosts = sorted(r["h"] for r in pages.select(
+        F.expr("lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))").alias("h")
+    ).distinct().collect())
+    hot = hosts[-1]  # lexically last => its seeds sort last under FIFO
+    seeds = pages.select(
+        F.lit("u1").alias("user_id"), F.lit(1).cast("long").alias("job_id"),
+        F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window
+                            .orderBy("url")).cast("int").alias("seed_idx"),
+        F.col("url"),
+    )
+    scores = spark.createDataFrame([(hot, 10_000)], "host string, score long")
+    hot_total = pages.filter(F.expr(f"url like 'https://{hot}/%'")).count()
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=1, global_budget=hot_total)
+    run_crawl(spark, cat, pages, seeds=seeds, cfg=cfg, host_scores=scores)
+    done = load_frontier(spark, cat).filter(F.col("status") == "complete").collect()
+    assert len(done) == hot_total
+    assert all(r["host"] == hot for r in done), sorted({r["host"] for r in done})

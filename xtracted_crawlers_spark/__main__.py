@@ -52,6 +52,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--quota", help="api_requests parquet path (user_id, requests) — per-user budgets"
     )
+    c.add_argument(
+        "--sitemap-seeds",
+        help="comma-separated sitemap/sitemap-index URLs to harvest from "
+        "the pages table as an extra seed channel (new surface; the "
+        "index is walked --sitemap-depth levels)",
+    )
+    c.add_argument("--sitemap-depth", type=int, default=2)
+    c.add_argument(
+        "--priority-from-links",
+        action="store_true",
+        help="derive host authority (link in-degree over the pages table) "
+        "and stamp it as scheduling priority at bootstrap — "
+        "high-authority hosts crawl first",
+    )
 
     j = sub.add_parser(
         "jobs", help="job-level status from a crawl warehouse (the reference's "
@@ -185,9 +199,29 @@ def main(argv: list[str] | None = None) -> int:
         expand_variants=args.expand_variants,
         use_bloom=args.use_bloom,
         frontier_storage=args.storage,
+        sitemap_seeds=(
+            [u for u in args.sitemap_seeds.split(",") if u] if args.sitemap_seeds else None
+        ),
+        sitemap_depth=args.sitemap_depth,
     )
     quota = spark.read.parquet(args.quota) if getattr(args, "quota", None) else None
-    metrics = run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg, quota=quota)
+    host_scores = None
+    if args.priority_from_links:
+        from pyspark.sql import functions as F
+
+        from .operators import linkgraph
+        from .urlnorm import host as _host
+
+        host_scores = (
+            linkgraph.extract_links(pages)
+            .select(_host(F.col("dst")).alias("host"))
+            .groupBy("host")
+            .agg(F.count("*").alias("score"))
+        )
+    metrics = run_crawl(
+        spark, catalog, pages, seeds, robots=robots, cfg=cfg, quota=quota,
+        host_scores=host_scores,
+    )
     for m in metrics:
         print(json.dumps(m))
     return 0

@@ -95,6 +95,15 @@ class CrawlConfig:
     # derive + commit the jobs table (job_status/progress/heartbeat) each
     # round — the reference's jobs/running_jobs bookkeeping (quota.py)
     track_jobs: bool = True
+    # sitemap seed channel (flag-gated like expand_variants; the
+    # reference has no sitemap support — new surface): harvest these
+    # sitemap/sitemap-index URLs from the pages table before bootstrap
+    # and ingest their page entries as seeds under (sitemap_user,
+    # sitemap_job). Unroutable locs drop at ingest like any seed.
+    sitemap_seeds: Optional[list[str]] = None
+    sitemap_depth: int = 2
+    sitemap_user: str = "sitemap"
+    sitemap_job: int = 0
 
 
 FRONTIER_TABLE = "frontier"
@@ -147,11 +156,18 @@ def bootstrap(
     catalog: ParquetSnapshotCatalog,
     seeds: DataFrame,
     priority: int = 0,
+    host_scores: Optional[DataFrame] = None,
 ) -> int:
     """Seed ingest → frontier snapshot 0 (A1). Idempotent against an
-    existing frontier (anti-join dedup)."""
+    existing frontier (anti-join dedup). host_scores (host, score), e.g.
+    linkgraph in-degree or PageRank, stamps authority-derived priority
+    buckets on the new rows (scheduler.with_host_priority) so
+    select_round schedules authoritative hosts first; default keeps the
+    reference's constant priority."""
     existing = load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
     new_rows = FR.ingest_seeds(seeds, existing, priority=priority, round_id=0)
+    if host_scores is not None:
+        new_rows = FR._conform(scheduler.with_host_priority(new_rows, host_scores))
     full = existing.unionByName(new_rows) if existing is not None else new_rows
     n_new = new_rows.count()
     sid = catalog.commit(
@@ -542,19 +558,31 @@ def run_crawl(
     robots: Optional[DataFrame] = None,
     cfg: Optional[CrawlConfig] = None,
     quota: Optional[DataFrame] = None,
+    host_scores: Optional[DataFrame] = None,
 ) -> list[dict[str, Any]]:
     """Full crawl: bootstrap (unless resuming an existing frontier) then
     rounds until nothing is selectable. Resume = call again with the same
     catalog; it continues from the latest committed snapshot. quota:
     optional (user_id, requests) budgets — committed as the api_requests
-    table once, then maintained per round."""
+    table once, then maintained per round. host_scores: optional
+    authority table stamped as scheduling priority at bootstrap (see
+    bootstrap). cfg.sitemap_seeds: harvest these sitemaps from the pages
+    table and ingest their entries alongside any explicit seeds."""
     cfg = cfg or CrawlConfig()
     rules = scheduler.robots_rules(robots) if robots is not None else None
     if rules is not None:
         rules = rules.cache()
     cfg = effective_config(cfg, rules)
+    if cfg.sitemap_seeds:
+        from .sources import sitemap as SM
+
+        harvested = SM.harvest(
+            pages, cfg.sitemap_seeds, max_depth=cfg.sitemap_depth, xml_col="html"
+        )
+        sm_seeds = SM.seeds_from_entries(harvested, cfg.sitemap_user, cfg.sitemap_job)
+        seeds = sm_seeds if seeds is None else seeds.unionByName(sm_seeds)
     if seeds is not None and not catalog.exists(FRONTIER_TABLE):
-        bootstrap(spark, catalog, seeds)
+        bootstrap(spark, catalog, seeds, host_scores=host_scores)
     if quota is not None and not catalog.exists(QT.QUOTA_TABLE):
         catalog.commit(quota, QT.QUOTA_TABLE, metrics={"event": "quota_init"})
     start_round = 1

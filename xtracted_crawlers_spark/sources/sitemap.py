@@ -36,9 +36,10 @@ LASTMOD_RE = "<lastmod>\\s*([^<]*?)\\s*</lastmod>"
 
 
 def _entries_of_kind(sitemaps: DataFrame, url_col: str, xml_col: str, block_re: str, kind: str) -> DataFrame:
+    xml = F.col(xml_col).cast("string")  # pages.html is binary; UTF-8 decode
     blocks = sitemaps.select(
         F.col(url_col).alias("sitemap_url"),
-        F.posexplode(F.regexp_extract_all(F.col(xml_col), F.lit(block_re), F.lit(1))).alias(
+        F.posexplode(F.regexp_extract_all(xml, F.lit(block_re), F.lit(1))).alias(
             "pos", "block"
         ),
     )
@@ -69,6 +70,33 @@ def sitemap_entries(sitemaps: DataFrame, url_col: str = "url", xml_col: str = "b
     )
 
 
+def seeds_from_entries(entries: DataFrame, user_id: str, job_id: int) -> DataFrame:
+    """Entry rows → seed rows (user_id, job_id, seed_idx, url) ready for
+    ``frontier.ingest_seeds``: page entries only, first-wins on duplicate
+    locs across sitemaps (lowest depth wins when a harvest carries one),
+    seed_idx = global discovery order (depth, sitemap_url, in-document
+    position). The ordering windows run over the seed list (size =
+    entries, not corpus) and ingest_seeds re-checks against the
+    frontier's seen set, so re-harvesting the same sitemaps next round
+    is idempotent."""
+    entries = entries.filter(F.col("kind") == "url")
+    depth = F.col("depth") if "depth" in entries.columns else F.lit(0)
+    entries = entries.withColumn("_d", depth)
+    w_dup = Window.partitionBy("loc").orderBy("_d", "sitemap_url", "pos")
+    first = (
+        entries.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_idx = Window.orderBy("_d", "sitemap_url", "pos")
+    return first.select(
+        F.lit(user_id).alias("user_id"),
+        F.lit(job_id).cast("long").alias("job_id"),
+        (F.row_number().over(w_idx) - 1).cast("int").alias("seed_idx"),
+        F.col("loc").alias("url"),
+    )
+
+
 def seeds_from_sitemaps(
     sitemaps: DataFrame,
     user_id: str,
@@ -76,27 +104,48 @@ def seeds_from_sitemaps(
     url_col: str = "url",
     xml_col: str = "body",
 ) -> DataFrame:
-    """Seed rows (user_id, job_id, seed_idx, url) ready for
-    ``frontier.ingest_seeds``: page entries only, first-wins on duplicate
-    locs across sitemaps, seed_idx = global discovery order
-    (sitemap_url, in-document position). The ordering window runs over
-    the seed list (size = entries, not corpus) and ingest_seeds re-checks
-    against the frontier's seen set, so re-harvesting the same sitemaps
-    next round is idempotent."""
-    entries = sitemap_entries(sitemaps, url_col, xml_col).filter(F.col("kind") == "url")
-    w_dup = Window.partitionBy("loc").orderBy("sitemap_url", "pos")
-    first = (
-        entries.withColumn("_rn", F.row_number().over(w_dup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    w_idx = Window.orderBy("sitemap_url", "pos")
-    return first.select(
-        F.lit(user_id).alias("user_id"),
-        F.lit(job_id).cast("long").alias("job_id"),
-        (F.row_number().over(w_idx) - 1).cast("int").alias("seed_idx"),
-        F.col("loc").alias("url"),
-    )
+    """One-level convenience: parse the given sitemap documents and
+    assemble seeds (see seeds_from_entries)."""
+    return seeds_from_entries(sitemap_entries(sitemaps, url_col, xml_col), user_id, job_id)
+
+
+def harvest(
+    pages: DataFrame,
+    start_urls: list[str],
+    max_depth: int = 2,
+    url_col: str = "url",
+    xml_col: str = "body",
+) -> DataFrame:
+    """Walk sitemap indexes breadth-first over the pages table and return
+    every entry discovered, with a ``depth`` column (0 = the start
+    documents). 'Fetching' a sitemap is what fetching is everywhere in
+    this engine — a join against the pages table on url — so the walk is
+    max_depth joins + parses, all LAZY (zero driver actions; the plan
+    materializes when the caller ingests the seeds). Nested sitemaps
+    already visited at a shallower depth are anti-joined out, so an
+    index cycle cannot loop; depth is the hard bound either way. The
+    sitemap index protocol nests one level (index → urlset), so
+    max_depth=2 covers the spec; deeper chains just cost one more join
+    each."""
+    spark = pages.sparkSession
+    page_side = pages.select(F.col(url_col).alias("_sm_url"), F.col(xml_col).alias("_sm_body"))
+    frontier_urls = spark.createDataFrame([(u,) for u in start_urls], "_sm_url string")
+    visited = frontier_urls
+    out = None
+    for d in range(max_depth):
+        docs = page_side.join(frontier_urls, "_sm_url")
+        entries = sitemap_entries(docs, "_sm_url", "_sm_body").withColumn(
+            "depth", F.lit(d).cast("int")
+        )
+        out = entries if out is None else out.unionByName(entries)
+        if d == max_depth - 1:
+            break
+        nested = entries.filter(F.col("kind") == "sitemap").select(
+            F.col("loc").alias("_sm_url")
+        ).distinct()
+        frontier_urls = nested.join(visited, "_sm_url", "left_anti")
+        visited = visited.unionByName(frontier_urls)
+    return out
 
 
 def render_sitemap(urls: DataFrame, group_col: str, loc_col: str, lastmod_col=None) -> DataFrame:
