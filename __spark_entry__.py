@@ -728,6 +728,52 @@ select doc_a, doc_b, est_sim, vs from est where est_sim >= 0.25
 
 SQL_DEDUP_INCREMENTAL = _sql_incremental()
 
+_CC_ITERS = 6
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (round 4): connected components over the
+    MinHash-LSH pair list — component = min reachable doc_id, the
+    canonical-doc selection every dedup pipeline ends with. Fixed
+    iteration count replayed exactly by the oracle's unrolled CTE chain
+    (integer min is engine-exact, no float drift)."""
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.25)
+    return dedup.connected_components(pairs, iters=_CC_ITERS)
+
+
+def _sql_components(iters: int = _CC_ITERS) -> str:
+    sig_cols = ", ".join(f"min(md5(shingle || '#{j}')) as s{j}" for j in range(_N_PERMS))
+    band_elems = ", ".join(
+        f"'{b}' || '|' || s{2*b} || '|' || s{2*b+1}" for b in range(_N_PERMS // 2)
+    )
+    eq_sum = " + ".join(f"cast(sa.s{j} = sb.s{j} as int)" for j in range(_N_PERMS))
+    steps = ",\n".join(
+        f"l{i} as (select e.b as node, min(l.lab) as lab from sym e "
+        f"join l{i-1} l on e.a = l.node group by e.b)"
+        for i in range(1, iters + 1)
+    )
+    return f"""
+with {_SQL_SHINGLES},
+sig as (select doc_id, {sig_cols} from sh group by doc_id),
+bands as (select doc_id, unnest([{band_elems}]) as band_key from sig),
+cand as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+         from bands a join bands b using (band_key) where a.doc_id < b.doc_id),
+est as (select doc_a, doc_b,
+          round(cast({eq_sum} as double) / {_N_PERMS}, 4) as est_sim
+        from cand join sig sa on sa.doc_id = doc_a join sig sb on sb.doc_id = doc_b),
+pr as (select doc_a, doc_b from est where est_sim >= 0.25),
+n as (select doc_a as node from pr union select doc_b as node from pr),
+sym as (select doc_a as a, doc_b as b from pr
+        union all select doc_b as a, doc_a as b from pr
+        union all select node as a, node as b from n),
+l0 as (select node, node as lab from n),
+{steps}
+select node as doc_id, lab as component from l{iters}
+"""
+
+
+SQL_DEDUP_COMPONENTS = _sql_components()
+
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
@@ -1569,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         # similarity search
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1621,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
         "sim_near_dup": SQL_SIM_NEAR_DUP,

@@ -103,6 +103,43 @@ def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
         assert vs == ("batch" if all(d % 2 == 1 for d in pair) else "corpus")
 
 
+def test_connected_components_vs_union_find(spark, sf_dir):
+    """Components over the real minhash pair list equal a pure-Python
+    union-find ground truth (iters covers the observed diameters)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs, iters=6).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    plist = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    for a, b in plist:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    assert got == want
+    assert plist and any(v != k for k, v in got.items())
+
+
+def test_connected_components_chain_needs_iters(spark):
+    """Honest iters contract: a 10-edge path clusters fully at iters ≥
+    diameter and visibly under-merges below it."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    full = dedup.connected_components(chain, iters=10).collect()
+    assert {r["component"] for r in full} == {0}
+    short = dedup.connected_components(chain, iters=2).collect()
+    assert {r["component"] for r in short} != {0}
+
+
 def test_minhash_plan_has_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()

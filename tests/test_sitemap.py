@@ -181,3 +181,57 @@ def test_crawl_priority_from_scores(spark, tmp_path):
     done = load_frontier(spark, cat).filter(F.col("status") == "complete").collect()
     assert len(done) == hot_total
     assert all(r["host"] == hot for r in done), sorted({r["host"] for r in done})
+
+
+def test_fuzz_parse_vs_elementtree(spark):
+    """Differential fuzz: on well-formed documents the regex subset must
+    agree with a real XML parser (ElementTree) — entries, order, trim,
+    lastmod nullability — across whitespace layouts, container
+    attributes, and mixed url/sitemap docs."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    rng = random.Random(20260817)
+    alphabet = "abcdefghij0123456789-._~/?=%"
+    docs, expected = [], {}
+    for d in range(40):
+        su = f"https://fuzz{d}.test/sitemap.xml"
+        is_index = rng.random() < 0.3
+        tag, attrs = ("sitemapindex", "") if is_index else ("urlset", "")
+        if rng.random() < 0.5:
+            attrs = ' xmlns:x="http://example.test/ns" data-k="v"'
+        parts = [f"<?xml version=\"1.0\"?><{tag}{attrs}>"]
+        entries = []
+        for i in range(rng.randrange(0, 6)):
+            loc = "https://h%d.test/%s" % (
+                rng.randrange(3), "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 12))))
+            ws1, ws2 = rng.choice(["", " ", "\n  ", "\t"]), rng.choice(["", " ", "\n"])
+            lastmod = None
+            lm_xml = ""
+            if rng.random() < 0.5:
+                lastmod = "2026-0%d-1%d" % (rng.randrange(1, 9), rng.randrange(0, 9))
+                lm_xml = f"<lastmod>{ws1}{lastmod}{ws2}</lastmod>"
+            etag = "sitemap" if is_index else "url"
+            nl = rng.choice(["", "\n", "\n  "])
+            parts.append(f"{nl}<{etag}><loc>{ws1}{loc}{ws2}</loc>{lm_xml}</{etag}>")
+            entries.append((("sitemap" if is_index else "url"), i, loc, lastmod))
+        parts.append(f"</{tag}>")
+        xml = "".join(parts)
+        # ET ground truth (namespace-free docs; xmlns:x is a no-op here)
+        root = ET.fromstring(xml)
+        et_entries = []
+        for i, el in enumerate(root):
+            loc = (el.findtext("loc") or "").strip()
+            lm = el.findtext("lastmod")
+            et_entries.append((el.tag, i, loc, lm.strip() if lm is not None else None))
+        assert et_entries == entries  # generator and ET agree on intent
+        docs.append((su, xml))
+        expected[su] = entries
+    df = spark.createDataFrame(docs, "url string, body string")
+    got: dict = {}
+    for r in sitemap.sitemap_entries(df).collect():
+        got.setdefault(r["sitemap_url"], []).append(
+            (r["kind"], r["pos"], r["loc"], r["lastmod"])
+        )
+    for su, ents in expected.items():
+        assert sorted(got.get(su, [])) == sorted(ents), su

@@ -322,6 +322,46 @@ def incremental_minhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    iters: int = 6,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(doc_id, component) over an undirected near-dup pair list:
+    component = min doc_id reachable within ``iters`` hops — the
+    canonical-document selection step every dedup pipeline ends with
+    (keep component == doc_id, drop the rest).
+
+    Min-label propagation: per iteration ONE equi join (messages along
+    symmetrized edges, self-loops keep isolated labels alive) + ONE
+    min-aggregate — the same two-shuffle shape as linkgraph.pagerank,
+    with the same bounded-lineage localCheckpoint every few iterations.
+    Exact for components whose diameter ≤ iters; near-dup clusters are
+    shallow (a hub doc links its variants), so the default covers real
+    corpora — for adversarial long chains raise iters (cost is linear)
+    or use the O(log n)-round large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce"), which this API
+    deliberately keeps simpler than: integer min is bit-exact in every
+    engine, so the DuckDB oracle replays the identical fixpoint."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    nodes = e.select(F.col("a").alias("node")).union(e.select("b")).distinct()
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for i in range(iters):
+        msgs = sym.join(labels, F.col("a") == F.col("node")).select(
+            F.col("b").alias("node"), "component"
+        )
+        labels = msgs.groupBy("node").agg(F.min("component").alias("component"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash bigint): the 64-bit production variant — xxhash64
     word hashes (JVM-native, no md5 string round-trip), bit p of the
