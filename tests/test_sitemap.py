@@ -235,3 +235,107 @@ def test_fuzz_parse_vs_elementtree(spark):
         )
     for su, ents in expected.items():
         assert sorted(got.get(su, [])) == sorted(ents), su
+
+
+def test_robots_sitemap_directive(spark):
+    from xtracted_crawlers_spark import scheduler
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nDisallow: /x\nSitemap: https://a.test/sm.xml\n"
+                       "User-agent: bot\nSiteMap:   https://a.test/sm2.xml  "),
+            ("b.test", "# no sitemap here\nUser-agent: *\nAllow: /"),
+            ("c.test", "sitemap: https://a.test/sm.xml"),  # dup across hosts
+        ],
+        "host string, robots_txt string",
+    )
+    # group-independent (RFC 9309 2.2.4), case-insensitive, deduped, sorted
+    assert scheduler.robots_sitemaps(robots) == [
+        "https://a.test/sm.xml", "https://a.test/sm2.xml",
+    ]
+
+
+def _corpus_with_sitemaps(spark, lastmods=None):
+    """fixtures pages + an index and two urlsets listing 6 of them; the
+    robots table advertises the index. Returns (all_pages, robots,
+    listed_urls)."""
+    from xtracted_crawlers_spark import fixtures
+
+    pages = fixtures.gen_pages(spark, 30, n_hosts=3)
+    listed = [r["url"] for r in pages.orderBy("url").limit(6).collect()]
+    lastmods = lastmods or {}
+    ent = lambda u: (
+        f"<url><loc>{u}</loc>" +
+        (f"<lastmod>{lastmods[u]}</lastmod>" if u in lastmods else "") + "</url>")
+    urlset = lambda urls: "<urlset>" + "".join(ent(u) for u in urls) + "</urlset>"
+    part = lambda i: f"https://seeds.test/sm/part{i}.xml"
+    sm_rows = [
+        ("https://seeds.test/sitemap.xml",
+         f"<sitemapindex><sitemap><loc>{part(1)}</loc></sitemap>"
+         f"<sitemap><loc>{part(2)}</loc></sitemap></sitemapindex>".encode()),
+        (part(1), urlset(listed[:3]).encode()),
+        (part(2), urlset(listed[3:]).encode()),
+    ]
+    sm_df = spark.createDataFrame(sm_rows, "url string, html binary").select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit(None).cast("string").alias("text"), F.lit(None).cast("string").alias("lang"),
+    )
+    all_pages = pages.select("url", "warc_ts", "html", "text", "lang").unionByName(sm_df)
+    robots = spark.createDataFrame(
+        [("seeds.test", "User-agent: *\nAllow: /\nSitemap: https://seeds.test/sitemap.xml",
+          None, None)],
+        "host string, robots_txt string, crawl_delay_s double, max_tokens int",
+    )
+    return all_pages, robots, listed
+
+
+def test_crawl_sitemap_autodiscovery_from_robots(spark, tmp_path):
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    all_pages, robots, listed = _corpus_with_sitemaps(spark)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=5, sitemap_from_robots=True)
+    metrics = run_crawl(spark, cat, all_pages, seeds=None, robots=robots, cfg=cfg)
+    assert sum(m.get("completed", 0) for m in metrics) == 6
+    done = load_frontier(spark, cat).filter(F.col("status") == "complete")
+    assert sorted(r["url"] for r in done.collect()) == sorted(listed)
+
+
+def test_refresh_stale_recrawls_updated_lastmod(spark, tmp_path):
+    """lastmod freshness: after a full crawl, republishing the sitemap
+    with future lastmods on two URLs resets exactly those to pending;
+    the next crawl re-fetches only them."""
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import (
+        CrawlConfig, load_frontier, refresh_stale, run_crawl,
+    )
+
+    all_pages, robots, listed = _corpus_with_sitemaps(spark)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=5, sitemap_from_robots=True)
+    run_crawl(spark, cat, all_pages, seeds=None, robots=robots, cfg=cfg)
+
+    # a lastmod BETWEEN the first crawl's commits and the re-crawl:
+    # stale now, fresh again once re-fetched (a future lastmod would be
+    # perpetually stale by the spec-true reading - lastmod vs fetch time)
+    from datetime import datetime, timezone
+
+    now_iso = datetime.now(timezone.utc).isoformat()  # micros + offset
+    stale_urls = sorted(listed)[:2]
+    lastmods = {stale_urls[0]: now_iso, stale_urls[1]: now_iso}
+    lastmods[sorted(listed)[2]] = "1999-01-01"  # older than the fetch -> fresh
+    updated_pages, _, _ = _corpus_with_sitemaps(spark, lastmods=lastmods)
+    out = refresh_stale(spark, cat, updated_pages,
+                        ["https://seeds.test/sitemap.xml"])
+    assert out["stale"] == 2
+    fr = load_frontier(spark, cat)
+    pend = {r["url"] for r in fr.filter(F.col("status") == "pending").collect()}
+    assert pend == set(stale_urls)
+    # resume re-fetches exactly the stale pair
+    m2 = run_crawl(spark, cat, updated_pages, seeds=None, robots=robots, cfg=cfg)
+    assert sum(m.get("completed", 0) for m in m2) == 2
+    assert load_frontier(spark, cat).filter(F.col("status") != "complete").count() == 0
+    # idempotent: same sitemap again finds nothing stale
+    assert refresh_stale(spark, cat, updated_pages,
+                         ["https://seeds.test/sitemap.xml"])["stale"] == 0

@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--sitemap-depth", type=int, default=2)
     c.add_argument(
+        "--sitemap-from-robots",
+        action="store_true",
+        help="autodiscover sitemaps from the robots table's 'Sitemap:' "
+        "directives (RFC 9309) and harvest them too",
+    )
+    c.add_argument(
         "--priority-from-links",
         action="store_true",
         help="derive host authority (link in-degree over the pages table) "
@@ -203,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             [u for u in args.sitemap_seeds.split(",") if u] if args.sitemap_seeds else None
         ),
         sitemap_depth=args.sitemap_depth,
+        sitemap_from_robots=args.sitemap_from_robots,
     )
     quota = spark.read.parquet(args.quota) if getattr(args, "quota", None) else None
     host_scores = None

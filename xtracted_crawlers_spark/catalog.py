@@ -43,6 +43,10 @@ class Manifest:
     metrics: dict[str, Any] = field(default_factory=dict)
     # per-partition lineage: list of {file, rows} emitted by the writer
     files: list[dict[str, Any]] = field(default_factory=list)
+    # commit wall time, UTC ISO — Iceberg snapshots carry timestamp-ms;
+    # freshness logic (crawl.refresh_stale) compares sitemap <lastmod>
+    # against the fetch round's commit time. None in pre-r4 manifests.
+    committed_at: Optional[str] = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, default=str)
@@ -135,6 +139,8 @@ class ParquetSnapshotCatalog:
             for fn in sorted(os.listdir(data_path))
             if fn.endswith(".parquet")
         ]
+        from datetime import datetime, timezone
+
         man = Manifest(
             table=table,
             snapshot_id=sid,
@@ -143,6 +149,7 @@ class ParquetSnapshotCatalog:
             parent_snapshot_id=parent,
             metrics=metrics or {},
             files=files,
+            committed_at=datetime.now(timezone.utc).isoformat(),
         )
         mdir = self._manifest_dir(table)
         os.makedirs(mdir, exist_ok=True)

@@ -104,6 +104,10 @@ class CrawlConfig:
     sitemap_depth: int = 2
     sitemap_user: str = "sitemap"
     sitemap_job: int = 0
+    # autodiscovery: also harvest every sitemap the robots table
+    # advertises via the ``Sitemap:`` directive (RFC 9309 §2.2.4 —
+    # group-independent, absolute URLs)
+    sitemap_from_robots: bool = False
 
 
 FRONTIER_TABLE = "frontier"
@@ -518,6 +522,80 @@ def rerun_job(
     return sid
 
 
+def refresh_stale(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    pages: DataFrame,
+    sitemap_urls: list[str],
+    depth: int = 2,
+) -> dict[str, Any]:
+    """Freshness re-crawl from sitemap <lastmod> (new surface — the
+    reference re-crawls only via explicit run_job resets): completed
+    frontier rows whose harvested lastmod is NEWER than the commit time
+    of the round that fetched them are reset to pending (data/text
+    cleared, retries 0 — reset_job's column contract), committed as a
+    delta, and the next run_crawl re-fetches exactly those. Rows from
+    pre-timestamp manifests (committed_at=None) are never considered
+    stale — refresh is conservative by construction. Scale shape: the
+    harvest is lazy joins over the pages table, the lastmod table is
+    entry-sized, the round→commit-time table is one row per round
+    (broadcast), and the reset writes only the stale delta."""
+    from .sources import sitemap as SM
+
+    fr = load_frontier(spark, catalog)
+    entries = SM.harvest(pages, sitemap_urls, max_depth=depth, xml_col="html")
+    lm = (
+        entries.filter(F.col("kind") == "url")
+        .select(F.col("loc").alias("url"), SM.lastmod_ts("lastmod").alias("_lm"))
+        .filter(F.col("_lm").isNotNull())
+        .groupBy("url")
+        .agg(F.max("_lm").alias("_lm"))
+    )
+    rounds = [
+        (int(m.round_id), m.committed_at)
+        for m in catalog.history(FRONTIER_TABLE)
+        if m.round_id is not None and m.committed_at is not None
+    ]
+    if not rounds:
+        return {"event": "refresh_stale", "stale": 0}
+    rdf = (
+        spark.createDataFrame(rounds, "round int, _cat_s string")
+        .groupBy("round")
+        .agg(F.max(F.to_timestamp("_cat_s")).alias("_fetched_at"))
+    )
+    stale = (
+        fr.filter(F.col("status") == COMPLETE)
+        .join(lm, "url")
+        .join(F.broadcast(rdf), "round")
+        .filter(F.col("_lm") > F.col("_fetched_at"))
+    )
+    reset = (
+        stale.withColumn("status", F.lit(PENDING))
+        .withColumn("retries", F.lit(0))
+        .withColumn("data", F.lit(None).cast(PAYLOAD_SCHEMA))
+        .withColumn("payload_json", F.lit(None).cast("string"))
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("created_at", F.current_timestamp())
+        .select(*fr.columns)
+        .cache()
+    )
+    n = reset.count()
+    if n > 0:
+        # stamp the CURRENT round id so run_crawl's resume arithmetic
+        # (latest round + 1) keeps counting monotonically past the
+        # refresh commit
+        last = catalog.latest_snapshot(FRONTIER_TABLE)
+        rid = catalog.manifest(FRONTIER_TABLE, last).round_id or 0
+        catalog.commit(
+            reset,
+            FRONTIER_TABLE,
+            round_id=rid,
+            metrics={"event": "refresh_stale", "stale": n, "kind": "delta"},
+        )
+    reset.unpersist()
+    return {"event": "refresh_stale", "stale": int(n)}
+
+
 def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
     """Per-round metrics across all committed snapshots — the per-round
     fetch/parse metrics + lineage record the north_rule requires, straight
@@ -573,11 +651,14 @@ def run_crawl(
     if rules is not None:
         rules = rules.cache()
     cfg = effective_config(cfg, rules)
-    if cfg.sitemap_seeds:
+    sm_urls = list(cfg.sitemap_seeds or [])
+    if cfg.sitemap_from_robots and robots is not None:
+        sm_urls += [u for u in scheduler.robots_sitemaps(robots) if u not in sm_urls]
+    if sm_urls:
         from .sources import sitemap as SM
 
         harvested = SM.harvest(
-            pages, cfg.sitemap_seeds, max_depth=cfg.sitemap_depth, xml_col="html"
+            pages, sm_urls, max_depth=cfg.sitemap_depth, xml_col="html"
         )
         sm_seeds = SM.seeds_from_entries(harvested, cfg.sitemap_user, cfg.sitemap_job)
         seeds = sm_seeds if seeds is None else seeds.unionByName(sm_seeds)

@@ -148,6 +148,19 @@ def harvest(
     return out
 
 
+def lastmod_ts(col):
+    """W3C-datetime <lastmod> → timestamp column: date-only
+    ('2026-01-02'), naive datetime, and offset/Z-carrying datetime all
+    parse; anything else is NULL (never an error — sitemaps in the wild
+    carry junk)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+
+
 def render_sitemap(urls: DataFrame, group_col: str, loc_col: str, lastmod_col=None) -> DataFrame:
     """Fixture twin: render one <urlset> document per group from a URL
     table — (url, body) rows shaped like fetched sitemap pages. Used by
