@@ -238,8 +238,6 @@ def test_fuzz_parse_vs_elementtree(spark):
 
 
 def test_robots_sitemap_directive(spark):
-    from xtracted_crawlers_spark import scheduler
-
     robots = spark.createDataFrame(
         [
             ("a.test", "User-agent: *\nDisallow: /x\nSitemap: https://a.test/sm.xml\n"
@@ -250,7 +248,7 @@ def test_robots_sitemap_directive(spark):
         "host string, robots_txt string",
     )
     # group-independent (RFC 9309 2.2.4), case-insensitive, deduped, sorted
-    assert scheduler.robots_sitemaps(robots) == [
+    assert sitemap.sitemaps_from_robots(robots) == [
         "https://a.test/sm.xml", "https://a.test/sm2.xml",
     ]
 

@@ -653,7 +653,9 @@ def run_crawl(
     cfg = effective_config(cfg, rules)
     sm_urls = list(cfg.sitemap_seeds or [])
     if cfg.sitemap_from_robots and robots is not None:
-        sm_urls += [u for u in scheduler.robots_sitemaps(robots) if u not in sm_urls]
+        from .sources import sitemap as SM
+
+        sm_urls += [u for u in SM.sitemaps_from_robots(robots) if u not in sm_urls]
     if sm_urls:
         from .sources import sitemap as SM
 

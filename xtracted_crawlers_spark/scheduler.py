@@ -70,24 +70,6 @@ def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]
     return disallow, allow, delay
 
 
-def robots_sitemaps(robots: DataFrame) -> list[str]:
-    """Sitemap URLs advertised by robots.txt — the ``Sitemap:`` directive
-    (sitemaps.org autodiscovery; per RFC 9309 §2.2.4 it is group-
-    independent, so it is read from the WHOLE file, not just the
-    'User-agent: *' group, and its value is an absolute URL). One JVM
-    regexp over the tiny robots table; the collect is bounded by the
-    number of advertised sitemaps (a handful per host). Sorted for
-    deterministic harvest/seed order."""
-    hits = robots.select(
-        F.explode(
-            F.regexp_extract_all(
-                F.col("robots_txt"), F.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), F.lit(1)
-            )
-        ).alias("sm")
-    ).distinct()
-    return sorted(r["sm"] for r in hits.collect())
-
-
 def robots_rules(robots: DataFrame) -> DataFrame:
     """(host, disallow array, allow array, crawl_delay_s, max_tokens)
     from the raw robots table; parsing is one Arrow batch pass over a

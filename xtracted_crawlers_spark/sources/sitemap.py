@@ -148,6 +148,25 @@ def harvest(
     return out
 
 
+def sitemaps_from_robots(robots: DataFrame) -> list[str]:
+    """Sitemap URLs advertised by robots.txt — the ``Sitemap:`` directive
+    (sitemaps.org autodiscovery; per RFC 9309 §2.2.4 it is group-
+    independent, so it is read from the WHOLE file, not just the
+    'User-agent: *' group, and its value is an absolute URL). One JVM
+    regexp over the tiny robots table; the collect is bounded by the
+    number of advertised sitemaps (a handful per host — this module is
+    off the per-round hot path, which stays collect-free). Sorted for
+    deterministic harvest/seed order."""
+    hits = robots.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("robots_txt"), F.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), F.lit(1)
+            )
+        ).alias("sm")
+    ).distinct()
+    return sorted(r["sm"] for r in hits.collect())
+
+
 def lastmod_ts(col):
     """W3C-datetime <lastmod> → timestamp column: date-only
     ('2026-01-02'), naive datetime, and offset/Z-carrying datetime all
