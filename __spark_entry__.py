@@ -1131,6 +1131,95 @@ group by source
 SQL_PIPELINE_CORPUS_PREP = _sql_pipeline_corpus_prep()
 
 
+def q_pipeline_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep with NEAR-dup removal (round 4): exact-dedup
+    keep-canonical → MinHash-LSH pairs over the survivors →
+    connected-components clustering → keep only each cluster's canonical
+    (min doc_id; singletons survive untouched) → language + quality
+    gates → per-source token accounting. The full modern prep recipe in
+    one lineage, every stage the library operator."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    wfp = Window.partitionBy(textops.fingerprint(t)).orderBy("doc_id")
+    kept = (
+        d.withColumn("_rn", F.row_number().over(wfp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = dedup.minhash_lsh_pairs(kept, n=3, threshold=0.25)
+    comp = dedup.connected_components(pairs, iters=_CC_ITERS)
+    drop = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    kept2 = (
+        kept.join(drop, "doc_id", "left_anti")
+        .withColumn("pred_lang", textops.lang_id(t))
+        .withColumn("quality", textops.quality_score(t))
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    )
+    return kept2.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textops.token_count(t).cast("long")).alias("total_tokens"),
+        F.sum((F.col("quality") * 4).cast("long")).alias("quality_quarters"),
+    )
+
+
+def _sql_pipeline_corpus_neardup(iters: int = _CC_ITERS) -> str:
+    langid = _sql_langid().strip()
+    sig_cols = ", ".join(f"min(md5(shingle || '#{j}')) as s{j}" for j in range(_N_PERMS))
+    band_elems = ", ".join(
+        f"'{b}' || '|' || s{2*b} || '|' || s{2*b+1}" for b in range(_N_PERMS // 2)
+    )
+    eq_sum = " + ".join(f"cast(sa.s{j} = sb.s{j} as int)" for j in range(_N_PERMS))
+    steps = ",\n".join(
+        f"l{i} as (select e.b as node, min(l.lab) as lab from sym e "
+        f"join l{i-1} l on e.a = l.node group by e.b)"
+        for i in range(1, iters + 1)
+    )
+    return f"""
+with canon as (
+  select min(doc_id) as doc_id
+  from documents
+  group by md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+),
+k as (select d.* from documents d join canon using (doc_id)),
+w as (select doc_id, string_split_regex(trim(text), '\\s+') as words from k),
+e0 as (select doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) as i from w),
+sh as (select distinct doc_id, array_to_string(words[i:i+2], ' ') as shingle from e0),
+sig as (select doc_id, {sig_cols} from sh group by doc_id),
+bands as (select doc_id, unnest([{band_elems}]) as band_key from sig),
+cand as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+         from bands a join bands b using (band_key) where a.doc_id < b.doc_id),
+est as (select doc_a, doc_b,
+          round(cast({eq_sum} as double) / {_N_PERMS}, 4) as est_sim
+        from cand join sig sa on sa.doc_id = doc_a join sig sb on sb.doc_id = doc_b),
+pr as (select doc_a, doc_b from est where est_sim >= 0.25),
+n as (select doc_a as node from pr union select doc_b as node from pr),
+sym as (select doc_a as a, doc_b as b from pr
+        union all select doc_b as a, doc_a as b from pr
+        union all select node as a, node as b from n),
+l0 as (select node, node as lab from n),
+{steps},
+nd_drop as (select node as doc_id from l{iters} where lab <> node),
+k2 as (select * from k where doc_id not in (select doc_id from nd_drop)),
+lid as ({langid}),
+scored as (
+  select d.doc_id, d.source, l.pred_lang, {_sql_quality('d.text')} as quality,
+         cast(length(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) as bigint) as n_tokens
+  from k2 d
+  join lid l on l.doc_id = d.doc_id
+)
+select source, count(*) as n_docs,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       cast(sum(cast(quality * 4 as bigint)) as bigint) as quality_quarters
+from scored where pred_lang = 'en' and quality >= 0.5
+group by source
+"""
+
+
+SQL_PIPELINE_CORPUS_NEARDUP = _sql_pipeline_corpus_neardup()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1601,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_job_status": q_crawl_job_status,
         # text analysis
         "pipeline_corpus_prep": q_pipeline_corpus_prep,
+        "pipeline_corpus_neardup": q_pipeline_corpus_neardup,
         "link_extract": q_link_extract,
         "link_resolve": q_link_resolve,
         "link_host_graph": q_link_host_graph,
@@ -1655,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_quota": SQL_CRAWL_QUOTA,
         "crawl_job_status": SQL_CRAWL_JOB_STATUS,
         "pipeline_corpus_prep": SQL_PIPELINE_CORPUS_PREP,
+        "pipeline_corpus_neardup": SQL_PIPELINE_CORPUS_NEARDUP,
         "link_extract": SQL_LINK_EXTRACT,
         "link_resolve": SQL_LINK_RESOLVE,
         "link_host_graph": SQL_LINK_HOST_GRAPH,
