@@ -229,3 +229,46 @@ def test_rerun_job_resets_and_recrawls(spark, corpus, tmp_path):
     assert rerun_rows and all(r["payload_json"] is not None for r in rerun_rows)
     hist_events = [m.metrics.get("event") for m in catalog.history(FRONTIER_TABLE)]
     assert "rerun_job" in hist_events
+
+
+def test_export_corpus_partitioned_and_gated(spark, corpus, tmp_path):
+    """The training-data product: completed rows exported as parquet
+    partitioned by predicted language, with quality/lang gates applied;
+    text round-trips byte-identically and only complete rows ship."""
+    import os
+
+    from xtracted_crawlers_spark.crawl import export_corpus
+    from xtracted_crawlers_spark.operators import textops
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    run_crawl(spark, catalog, pages, seeds, cfg=CrawlConfig(max_rounds=10))
+
+    out = str(tmp_path / "corpus_out")
+    export_corpus(spark, catalog, out)
+    back = spark.read.parquet(out)
+    done = load_frontier(spark, catalog).filter(
+        (F.col("status") == "complete") & F.col("text").isNotNull()
+    )
+    assert back.count() == done.count() > 0
+    # hive partitioning on pred_lang, values match a recomputed lang_id
+    parts = {d for d in os.listdir(out) if d.startswith("pred_lang=")}
+    assert parts
+    want = {r["url"]: r["l"] for r in done.select(
+        "url", textops.lang_id(F.col("text")).alias("l")).collect()}
+    got = {r["url"]: (r["pred_lang"], r["text"]) for r in back.collect()}
+    src_text = {r["url"]: r["text"] for r in done.collect()}
+    for u, (lang, text) in got.items():
+        assert lang == want[u]
+        assert text == src_text[u]  # byte-identical round trip
+    # gates: an impossible quality floor ships nothing
+    out2 = str(tmp_path / "corpus_out2")
+    export_corpus(spark, catalog, out2, min_quality=2.0)
+    assert spark.read.parquet(out2).count() == 0
+    # lang allow-list keeps only those partitions
+    out3 = str(tmp_path / "corpus_out3")
+    export_corpus(spark, catalog, out3, langs=["en"])
+    b3 = spark.read.parquet(out3)
+    assert b3.count() == done.filter(textops.lang_id(F.col("text")) == "en").count()
+    assert {r["pred_lang"] for r in b3.select("pred_lang").distinct().collect()} <= {"en"}

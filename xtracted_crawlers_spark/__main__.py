@@ -98,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--table", default="frontier")
     e.add_argument("--keep-bases", type=int, default=1)
 
+    x = sub.add_parser(
+        "export", help="write the crawled corpus (completed rows' extracted text) "
+        "as parquet partitioned by predicted language — the training-data product"
+    )
+    x.add_argument("--warehouse", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--min-quality", type=float, default=None)
+    x.add_argument("--langs", help="comma-separated language allow-list (e.g. en,de)")
+    x.add_argument("--master", default=None)
+
     u = sub.add_parser(
         "urls", help="URL-level frontier state (the reference's list_crawler_urls/"
         "get_crawler_url service queries, E1/E2) — key filters push down to the scan"
@@ -168,6 +178,20 @@ def main(argv: list[str] | None = None) -> int:
             df = df.filter(F.col("job_id") == args.job)
         for r in df.orderBy("user_id", "job_id").collect():
             print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "export":
+        from .crawl import export_corpus
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        out_df = export_corpus(
+            spark, catalog, args.out,
+            min_quality=args.min_quality,
+            langs=[s for s in (args.langs or "").split(",") if s] or None,
+        )
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows": n,
+                          "columns": [c for c in out_df.columns]}))
         return 0
 
     if args.cmd == "urls":

@@ -596,6 +596,52 @@ def refresh_stale(
     return {"event": "refresh_stale", "stale": int(n)}
 
 
+def export_corpus(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    out: str,
+    min_quality: Optional[float] = None,
+    langs: Optional[list[str]] = None,
+) -> DataFrame:
+    """The crawler's product as a training-data corpus table: completed
+    frontier rows → (url, url_id, text, payload_json, n_tokens, quality,
+    round), written as parquet PARTITIONED BY predicted language — the
+    layout a downstream data pipeline prunes on (lang filters become
+    partition pruning, not scans). Optional quality floor and language
+    allow-list apply the textops gates at export. One pass over the
+    frontier, no driver-side data; returns the (lazy) exported frame
+    for inspection. WET-equivalent role: where Common Crawl ships
+    WARC→WET text extracts, this engine ships the extracted-text table
+    keyed by canonical url_id."""
+    from .operators import textops
+
+    fr = load_frontier(spark, catalog)
+    t = F.col("text")
+    df = (
+        fr.filter((F.col("status") == COMPLETE) & t.isNotNull())
+        .withColumn("pred_lang", textops.lang_id(t))
+        .withColumn("quality", textops.quality_score(t))
+        .withColumn("n_tokens", textops.token_count(t).cast("long"))
+    )
+    if min_quality is not None:
+        df = df.filter(F.col("quality") >= min_quality)
+    if langs:
+        df = df.filter(F.col("pred_lang").isin(langs))
+    out_df = df.select(
+        "url", "url_id", "user_id", "job_id", "text", "payload_json",
+        "n_tokens", "quality", "round", "pred_lang",
+    )
+    # a fully-gated-out export still needs a readable (schema-carrying)
+    # table: a partitioned write of zero rows emits no files at all, so
+    # write the empty frame unpartitioned (limit(1) probe = one cheap
+    # action on the filtered plan)
+    if out_df.limit(1).count() == 0:
+        spark.createDataFrame([], out_df.schema).write.mode("overwrite").parquet(out)
+    else:
+        out_df.write.mode("overwrite").partitionBy("pred_lang").parquet(out)
+    return out_df
+
+
 def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
     """Per-round metrics across all committed snapshots — the per-round
     fetch/parse metrics + lineage record the north_rule requires, straight
