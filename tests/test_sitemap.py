@@ -337,3 +337,12 @@ def test_refresh_stale_recrawls_updated_lastmod(spark, tmp_path):
     # idempotent: same sitemap again finds nothing stale
     assert refresh_stale(spark, cat, updated_pages,
                          ["https://seeds.test/sitemap.xml"])["stale"] == 0
+
+
+def test_sitemap_parse_plan_is_jvm_only(spark):
+    """Plan shape: the parse is JVM regexp + Generate (posexplode) —
+    zero Python evaluation and zero shuffle until the caller aggregates."""
+    df = _docs(spark)
+    plan = sitemap.sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
