@@ -609,6 +609,53 @@ from documents
 # ---------------------------------------------------------------------------
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (round 4): deterministic PII (email, phone, IPv4
+    derived from doc_id) appended to each document, redacted by the
+    JVM regexp chain; the oracle re-runs the identical RE2 patterns and
+    the md5 of the redacted text is the equality check."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    i = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i, F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example or +1 (555) 010-20"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"), F.lit(" end"),
+    )
+    n_email, n_ip, n_phone = textops.pii_counts(pii)
+    return d.select(
+        "doc_id",
+        n_email.cast("int").alias("n_email"),
+        n_ip.cast("int").alias("n_ip"),
+        n_phone.cast("int").alias("n_phone"),
+        F.md5(textops.redact_pii(pii)).alias("redacted_md5"),
+    )
+
+
+SQL_TEXT_REDACT = f"""
+with p as (
+  select doc_id,
+         text || ' contact user' || cast(doc_id as varchar) || '@mail'
+              || cast(doc_id % 7 as varchar)
+              || '.example or +1 (555) 010-20' || cast(doc_id % 10 as varchar)
+              || ' from 10.' || cast(doc_id % 200 as varchar)
+              || '.0.' || cast(doc_id % 100 as varchar) || ' end' as t
+  from documents where doc_id < 500
+),
+s1 as (select doc_id, len(regexp_extract_all(t, '{textops.EMAIL_RE}')) as n_email,
+              regexp_replace(t, '{textops.EMAIL_RE}', '<EMAIL>', 'g') as t from p),
+s2 as (select doc_id, n_email, len(regexp_extract_all(t, '{textops.IPV4_RE}')) as n_ip,
+              regexp_replace(t, '{textops.IPV4_RE}', '<IP>', 'g') as t from s1),
+s3 as (select doc_id, n_email, n_ip,
+              len(regexp_extract_all(t, '{textops.PHONE_RE}')) as n_phone,
+              regexp_replace(t, '{textops.PHONE_RE}', '<PHONE>', 'g') as t from s2)
+select doc_id, cast(n_email as int) as n_email, cast(n_ip as int) as n_ip,
+       cast(n_phone as int) as n_phone, md5(t) as redacted_md5
+from s3
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1699,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_redact": q_text_redact,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1754,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_redact": SQL_TEXT_REDACT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

@@ -297,3 +297,29 @@ def test_image_features_real_pixels_through_spark(spark):
     for r in feats.values():
         for i, v in enumerate(r["feat"]):
             assert abs(v - int(r["feat_fp"][2 * i : 2 * i + 2], 16) / 255.0) < 1e-6
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from xtracted_crawlers_spark.operators import textops
+
+    rows = [
+        ("reach me at jo.doe+x@mail-7.example thanks",),
+        ("server 10.0.0.1 and 192.168.001.255 up",),
+        ("call +1 (555) 010-2034 today",),
+        ("mixed: a@b.co from 8.8.8.8 tel 555 123 4567 ok",),
+        ("clean text, nothing to scrub 12",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = df.select(
+        textops.redact_pii(F.col("t")).alias("r"),
+        *[c.alias(n) for c, n in zip(textops.pii_counts(F.col("t")),
+                                     ["n_email", "n_ip", "n_phone"])],
+    ).collect()
+    assert out[0]["r"] == "reach me at <EMAIL> thanks"
+    assert (out[0]["n_email"], out[0]["n_ip"], out[0]["n_phone"]) == (1, 0, 0)
+    assert out[1]["r"] == "server <IP> and <IP> up"
+    assert out[1]["n_ip"] == 2 and out[1]["n_phone"] == 0  # IPs never double-match as phones
+    assert out[2]["r"] == "call <PHONE> today"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (1, 1, 1)
+    assert out[3]["r"] == "mixed: <EMAIL> from <IP> tel <PHONE> ok"
+    assert out[4]["r"] == rows[4][0]

@@ -106,6 +106,40 @@ def sum_cols(cols: list[Column]) -> Column:
     return out
 
 
+# PII scrubbing (C4/Dolma-style pre-training hygiene) — RE2-compatible
+# patterns (no lookarounds) so the DuckDB oracle runs them verbatim.
+# Order matters and is fixed: emails first (their local parts contain
+# digits), then IPv4 (dots keep them out of the phone class), then
+# phone-like digit runs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d() -]{7,}\d"
+_PII = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with emails/IPv4s/phone-like digit runs replaced by typed
+    mask tokens — applied in the fixed order above. Pure JVM
+    regexp_replace chain (codegen, zero Python), the per-row scrubbing
+    pass every pre-training corpus ships through."""
+    out = text
+    for pat, mask in _PII:
+        out = F.regexp_replace(out, pat, mask)
+    return out
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_email, n_ip, n_phone) found by the same patterns — counted on
+    the same partially-redacted intermediates redact_pii rewrites, so
+    counts always agree with what redaction actually removed."""
+    counts = []
+    out = text
+    for pat, mask in _PII:
+        counts.append(F.size(F.regexp_extract_all(out, F.lit(pat), 0)))
+        out = F.regexp_replace(out, pat, mask)
+    return tuple(counts)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the rolling-hash document signature, exact-dedup key)."""
