@@ -323,3 +323,13 @@ def test_redact_pii_masks_and_counts(spark):
     assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (1, 1, 1)
     assert out[3]["r"] == "mixed: <EMAIL> from <IP> tel <PHONE> ok"
     assert out[4]["r"] == rows[4][0]
+
+
+def test_sig_bands_plan_is_projection_only(spark, sf_dir):
+    """Banding from persisted signatures must stay map-only: the
+    continuous-ingest path re-derives the corpus band table from the
+    signatures snapshot with zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs)
+    plan = dedup.sig_bands(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
