@@ -238,13 +238,32 @@ def q_crawl_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sm.sitemap_entries(sms.unionByName(idx), "url", "body")
 
 
+def _sql_xml_escape(expr: str) -> str:
+    out = expr
+    for ent, ch in [("&amp;", "&"), ("&apos;", "''"), ("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<")]:
+        out = f"replace({out}, '{ch}', '{ent}')"
+    return out
+
+
+def _sql_xml_unescape(expr: str) -> str:
+    out = expr
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "''"), ("&amp;", "&")]:
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return out
+
+
+_SQL_LOC_EXPR = _sql_xml_unescape(
+    "regexp_extract(blocks[p], '<loc>\\s*([^<]*?)\\s*</loc>', 1)"
+)
+
 SQL_CRAWL_SITEMAP_SEEDS = f"""
 with u as (select {sql_url_from_key('o_orderkey')} as u, cast(o_orderdate as varchar) as lm
            from orders where o_orderkey <= 600),
 h as (select u, lm, lower(regexp_extract(u, {NETLOC_RE_SQL}, 1)) as g from u),
 doc as (select 'https://' || g || '/sitemap.xml' as su,
                '<?xml version="1.0" encoding="UTF-8"?><urlset>'
-               || string_agg('<url><loc>' || u || '</loc><lastmod>' || lm || '</lastmod></url>',
+               || string_agg('<url><loc>' || {_sql_xml_escape('u')}
+                             || '</loc><lastmod>' || lm || '</lastmod></url>',
                              '' order by u, lm)
                || '</urlset>' as body
         from h group by g),
@@ -261,7 +280,7 @@ bs as (select su, regexp_extract_all(body, '(?s)<sitemap\\b[^>]*>(.*?)</sitemap>
 bb as (select * from bu union all select * from bs),
 e0 as (select su, kind, blocks, unnest(generate_series(1, len(blocks))) as p from bb),
 e1 as (select su as sitemap_url, kind, cast(p - 1 as int) as pos,
-              regexp_extract(blocks[p], '<loc>\\s*([^<]*?)\\s*</loc>', 1) as loc,
+              {_SQL_LOC_EXPR} as loc,
               regexp_extract(blocks[p], '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1) as lastmod
        from e0)
 select sitemap_url, kind, pos, loc,

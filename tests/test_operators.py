@@ -333,3 +333,39 @@ def test_sig_bands_plan_is_projection_only(spark, sf_dir):
     sigs = dedup.minhash_signatures(docs)
     plan = dedup.sig_bands(sigs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_spares_dates_and_small_numbers(spark):
+    from xtracted_crawlers_spark.operators import textops
+
+    rows = [
+        ("released 2026-08-17 and ranged 2010-2020",),
+        ("about 20 000 000 people",),
+        ("+1 (555) 010-2034 stays a phone",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = [r["r"] for r in df.select(textops.redact_pii(F.col("t")).alias("r")).collect()]
+    assert out[0] == rows[0][0]  # ISO dates / year ranges survive
+    assert out[1] == rows[1][0]  # 8-digit spaced numbers survive
+    assert out[2] == "<PHONE> stays a phone"
+
+
+def test_incremental_band_cap_is_per_side(spark):
+    """The corpus join is capped by CORPUS bucket size only: a band hot
+    in the batch but cold in the corpus must still yield batch-corpus
+    candidates (review fix), while the batch self-join respects the
+    batch-side cap."""
+    text = "alpha beta gamma delta epsilon zeta"  # identical shingles
+    batch = spark.createDataFrame([(i, text) for i in range(1, 6)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    corpus_sigs = dedup.minhash_signatures(corpus)
+    pairs = dedup.incremental_minhash_pairs(
+        corpus_sigs, batch, threshold=0.5, band_cap=2
+    ).collect()
+    by_vs = {}
+    for r in pairs:
+        by_vs.setdefault(r["vs"], set()).add((r["doc_a"], r["doc_b"]))
+    # corpus bucket size 1 <= cap: all 5 batch docs pair with doc 100
+    assert by_vs.get("corpus") == {(i, 100) for i in range(1, 6)}
+    # batch bucket size 5 > cap: self-join candidates dropped
+    assert "batch" not in by_vs

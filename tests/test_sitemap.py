@@ -346,3 +346,92 @@ def test_sitemap_parse_plan_is_jvm_only(spark):
     plan = sitemap.sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_loc_entity_unescape_and_render_escape(spark):
+    """Spec compliance: <loc> URLs arrive entity-escaped; parse
+    unescapes (&amp; last, so '&amp;lt;' stays literal '&lt;'), render
+    escapes, and the pair round-trips an &-carrying query string."""
+    xml = ("<urlset><url><loc>https://a.test/dp/B01?x=1&amp;y=2</loc></url>"
+           "<url><loc>https://a.test/p?q=&amp;lt;tag&amp;gt;</loc></url></urlset>")
+    df = spark.createDataFrame([("https://a.test/sm.xml", xml)], "url string, body string")
+    locs = [r["loc"] for r in sitemap.sitemap_entries(df).orderBy("pos").collect()]
+    assert locs == ["https://a.test/dp/B01?x=1&y=2", "https://a.test/p?q=&lt;tag&gt;"]
+    urls = spark.createDataFrame(
+        [("https://h.test/dp/B0?x=1&y=2", "h.test")], "u string, g string"
+    )
+    body = sitemap.render_sitemap(urls, "g", "u").first()["body"]
+    assert "<loc>https://h.test/dp/B0?x=1&amp;y=2</loc>" in body
+    parsed = sitemap.sitemap_entries(sitemap.render_sitemap(urls, "g", "u")).first()
+    assert parsed["loc"] == "https://h.test/dp/B0?x=1&y=2"
+
+
+def test_sitemap_channel_picks_up_new_locs_on_resume(spark, tmp_path):
+    """A resumed crawl re-harvests the sitemap channel: locs the
+    publisher added after the first run are ingested and crawled
+    (review fix: the harvest used to be bootstrap-gated on a missing
+    frontier, silently inert on resume)."""
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    pages = fixtures.gen_pages(spark, 30, n_hosts=3)
+    listed = [r["url"] for r in pages.orderBy("url").limit(4).collect()]
+    urlset = lambda urls: ("<urlset>" + "".join(
+        f"<url><loc>{u}</loc></url>" for u in urls) + "</urlset>").encode()
+
+    def with_sitemap(urls):
+        sm = spark.createDataFrame(
+            [("https://seeds.test/sitemap.xml", urlset(urls))], "url string, html binary"
+        ).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+            F.lit(None).cast("string").alias("text"), F.lit(None).cast("string").alias("lang"),
+        )
+        return pages.select("url", "warc_ts", "html", "text", "lang").unionByName(sm)
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=5, sitemap_seeds=["https://seeds.test/sitemap.xml"])
+    m1 = run_crawl(spark, cat, with_sitemap(listed[:2]), seeds=None, cfg=cfg)
+    assert sum(m.get("completed", 0) for m in m1) == 2
+    # publisher adds two locs; the SAME command (resume) picks them up
+    m2 = run_crawl(spark, cat, with_sitemap(listed), seeds=None, cfg=cfg)
+    assert sum(m.get("completed", 0) for m in m2) == 2
+    done = load_frontier(spark, cat).filter(F.col("status") == "complete")
+    assert sorted(r["url"] for r in done.collect()) == sorted(listed)
+    # and a third resume with the unchanged sitemap ingests nothing new
+    m3 = run_crawl(spark, cat, with_sitemap(listed), seeds=None, cfg=cfg)
+    assert sum(m.get("completed", 0) for m in m3) == 0
+
+
+def test_refresh_stale_keeps_jobs_table_consistent(spark, tmp_path):
+    """Review fix: refresh_stale recommits the jobs table, so the
+    re-fetch is not double-counted by the incremental jobs delta and
+    n_complete ends exactly at n_total."""
+    from xtracted_crawlers_spark import quota as QT
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import (
+        CrawlConfig, load_frontier, refresh_stale, run_crawl,
+    )
+
+    all_pages, robots, listed = _corpus_with_sitemaps(spark)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=5, sitemap_from_robots=True)
+    run_crawl(spark, cat, all_pages, seeds=None, robots=robots, cfg=cfg)
+
+    from datetime import datetime, timezone
+
+    now_iso = datetime.now(timezone.utc).isoformat()
+    lastmods = {u: now_iso for u in sorted(listed)[:2]}
+    updated_pages, _, _ = _corpus_with_sitemaps(spark, lastmods=lastmods)
+    assert refresh_stale(spark, cat, updated_pages,
+                         ["https://seeds.test/sitemap.xml"])["stale"] == 2
+    # jobs table already reflects the reset (not 'complete' over pending)
+    jobs_mid = {(r["user_id"], r["job_id"]): r for r in cat.load(spark, QT.JOBS_TABLE).collect()}
+    sm_job = jobs_mid[("sitemap", 0)]
+    assert sm_job["job_status"] != "complete"
+    assert sm_job["n_complete"] == sm_job["n_total"] - 2
+    run_crawl(spark, cat, updated_pages, seeds=None, robots=robots, cfg=cfg)
+    jobs = {(r["user_id"], r["job_id"]): r for r in cat.load(spark, QT.JOBS_TABLE).collect()}
+    final = jobs[("sitemap", 0)]
+    assert final["n_complete"] == final["n_total"]  # counted exactly once
+    assert final["job_status"] == "complete"

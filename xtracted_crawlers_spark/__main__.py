@@ -70,7 +70,10 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="derive host authority (link in-degree over the pages table) "
         "and stamp it as scheduling priority at bootstrap — "
-        "high-authority hosts crawl first",
+        "high-authority hosts crawl first. Priority orders the GLOBAL "
+        "cut (and the quota cut), so pair it with --global-budget (or "
+        "--quota); without either, every selectable row is taken and "
+        "priority cannot change the schedule",
     )
 
     j = sub.add_parser(
@@ -184,14 +187,12 @@ def main(argv: list[str] | None = None) -> int:
         from .crawl import export_corpus
 
         catalog = ParquetSnapshotCatalog(args.warehouse)
-        out_df = export_corpus(
+        n = export_corpus(
             spark, catalog, args.out,
             min_quality=args.min_quality,
             langs=[s for s in (args.langs or "").split(",") if s] or None,
         )
-        n = spark.read.parquet(args.out).count()
-        print(json.dumps({"out": args.out, "rows": n,
-                          "columns": [c for c in out_df.columns]}))
+        print(json.dumps({"out": args.out, "rows": n}))
         return 0
 
     if args.cmd == "urls":
@@ -241,14 +242,10 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from .operators import linkgraph
-        from .urlnorm import host as _host
 
-        host_scores = (
-            linkgraph.extract_links(pages)
-            .select(_host(F.col("dst")).alias("host"))
-            .groupBy("host")
-            .agg(F.count("*").alias("score"))
-        )
+        host_scores = linkgraph.host_degrees(
+            linkgraph.host_edges(linkgraph.extract_links(pages))
+        ).select("host", F.col("in_weight").alias("score"))
     metrics = run_crawl(
         spark, catalog, pages, seeds, robots=robots, cfg=cfg, quota=quota,
         host_scores=host_scores,

@@ -174,6 +174,10 @@ def bootstrap(
         new_rows = FR._conform(scheduler.with_host_priority(new_rows, host_scores))
     full = existing.unionByName(new_rows) if existing is not None else new_rows
     n_new = new_rows.count()
+    if existing is not None and n_new == 0:
+        # idempotent re-ingest with nothing new: skip the (full-rewrite)
+        # snapshot commit entirely
+        return catalog.latest_snapshot(FRONTIER_TABLE)
     sid = catalog.commit(
         full,
         FRONTIER_TABLE,
@@ -558,10 +562,14 @@ def refresh_stale(
     ]
     if not rounds:
         return {"event": "refresh_stale", "stale": 0}
+    # min, not max: several manifests can share a round_id (a later
+    # refresh delta reuses the latest round's id) and the FIRST commit
+    # carrying the id is the actual fetch commit — max would shift the
+    # fetch time forward and mask genuine staleness
     rdf = (
         spark.createDataFrame(rounds, "round int, _cat_s string")
         .groupBy("round")
-        .agg(F.max(F.to_timestamp("_cat_s")).alias("_fetched_at"))
+        .agg(F.min(F.to_timestamp("_cat_s")).alias("_fetched_at"))
     )
     stale = (
         fr.filter(F.col("status") == COMPLETE)
@@ -592,6 +600,18 @@ def refresh_stale(
             round_id=rid,
             metrics={"event": "refresh_stale", "stale": n, "kind": "delta"},
         )
+        # the jobs table counted these rows complete; recommit the full
+        # derive (rerun_job's pattern) or the next round's incremental
+        # job_status_delta double-counts the re-fetch (counted-exactly-
+        # once invariant, quota.py) and the table briefly lies
+        # 'complete' over pending rows
+        if catalog.exists(QT.JOBS_TABLE):
+            catalog.commit(
+                QT.job_status(load_frontier(spark, catalog)).coalesce(1),
+                QT.JOBS_TABLE,
+                round_id=rid,
+                metrics={"event": "refresh_stale", "stale": n},
+            )
     reset.unpersist()
     return {"event": "refresh_stale", "stale": int(n)}
 
@@ -602,15 +622,16 @@ def export_corpus(
     out: str,
     min_quality: Optional[float] = None,
     langs: Optional[list[str]] = None,
-) -> DataFrame:
+) -> int:
     """The crawler's product as a training-data corpus table: completed
     frontier rows → (url, url_id, text, payload_json, n_tokens, quality,
     round), written as parquet PARTITIONED BY predicted language — the
     layout a downstream data pipeline prunes on (lang filters become
     partition pruning, not scans). Optional quality floor and language
-    allow-list apply the textops gates at export. One pass over the
-    frontier, no driver-side data; returns the (lazy) exported frame
-    for inspection. WET-equivalent role: where Common Crawl ships
+    allow-list apply the textops gates at export. ONE pass over the
+    frontier (the row count rides the write as an Observation), no
+    driver-side data; returns the exported row count.
+    WET-equivalent role: where Common Crawl ships
     WARC→WET text extracts, this engine ships the extracted-text table
     keyed by canonical url_id."""
     from .operators import textops
@@ -631,15 +652,17 @@ def export_corpus(
         "url", "url_id", "user_id", "job_id", "text", "payload_json",
         "n_tokens", "quality", "round", "pred_lang",
     )
+    obs = Observation()
+    out_df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("pred_lang").parquet(out)
+    n = int(obs.get["n"])
     # a fully-gated-out export still needs a readable (schema-carrying)
-    # table: a partitioned write of zero rows emits no files at all, so
-    # write the empty frame unpartitioned (limit(1) probe = one cheap
-    # action on the filtered plan)
-    if out_df.limit(1).count() == 0:
+    # table: a partitioned write of zero rows emits no files at all —
+    # only then pay a second (trivially empty) unpartitioned write
+    if n == 0:
         spark.createDataFrame([], out_df.schema).write.mode("overwrite").parquet(out)
-    else:
-        out_df.write.mode("overwrite").partitionBy("pred_lang").parquet(out)
-    return out_df
+    return n
 
 
 def metrics_history(catalog: ParquetSnapshotCatalog) -> list[dict[str, Any]]:
@@ -709,9 +732,15 @@ def run_crawl(
             pages, sm_urls, max_depth=cfg.sitemap_depth, xml_col="html"
         )
         sm_seeds = SM.seeds_from_entries(harvested, cfg.sitemap_user, cfg.sitemap_job)
-        seeds = sm_seeds if seeds is None else seeds.unionByName(sm_seeds)
+    else:
+        sm_seeds = None
     if seeds is not None and not catalog.exists(FRONTIER_TABLE):
         bootstrap(spark, catalog, seeds, host_scores=host_scores)
+    if sm_seeds is not None:
+        # the sitemap channel re-harvests EVERY invocation (a resumed
+        # crawl must pick up newly published locs); bootstrap's anti-join
+        # makes it idempotent and it skips the commit when nothing is new
+        bootstrap(spark, catalog, sm_seeds, host_scores=host_scores)
     if quota is not None and not catalog.exists(QT.QUOTA_TABLE):
         catalog.commit(quota, QT.QUOTA_TABLE, metrics={"event": "quota_init"})
     start_round = 1

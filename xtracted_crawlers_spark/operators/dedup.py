@@ -273,6 +273,7 @@ def incremental_minhash_pairs(
     batch_sigs = minhash_signatures(batch_docs, n, n_perms).cache()
     bb = sig_bands(batch_sigs, n_perms, band_size)
     cb = sig_bands(corpus_sigs.select("doc_id", "sig"), n_perms, band_size)
+    bb_self = bb
     if band_cap is not None:
         keep_c = (
             cb.groupBy("band_key")
@@ -287,7 +288,10 @@ def incremental_minhash_pairs(
             .filter(F.col("_bn") <= band_cap)
             .select("band_key")
         )
-        bb = bb.join(keep_b, "band_key")
+        # per-side semantics: the corpus join is capped by CORPUS bucket
+        # size only (bb stays uncapped there), the batch self-join by
+        # BATCH bucket size only
+        bb_self = bb.join(keep_b, "band_key")
 
     def scored(cand: DataFrame, b_sigs: DataFrame, tag: str) -> DataFrame:
         return (
@@ -311,8 +315,8 @@ def incremental_minhash_pairs(
         .distinct()
     )
     cand_batch = (
-        bb.alias("a")
-        .join(bb.alias("b"), "band_key")
+        bb_self.alias("a")
+        .join(bb_self.alias("b"), "band_key")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

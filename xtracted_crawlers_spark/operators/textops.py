@@ -113,7 +113,11 @@ def sum_cols(cols: list[Column]) -> Column:
 # phone-like digit runs.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\+?\d[\d() -]{7,}\d"
+# 9-14 digits with at most one ()-/space separator between digits: real
+# phone shapes match; ISO dates (8 digits) and '20 000 000'-style
+# numbers under 9 digits do NOT. A 10+-digit spaced number is still a
+# false positive — this is a documented digit-run heuristic, not NER.
+PHONE_RE = r"\+?\d(?:[ ()-]{0,2}\d){8,13}"
 _PII = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
 
 

@@ -212,7 +212,14 @@ def with_host_priority(
     actually is. This is the frontier-priority composition the
     north_star's 'host-partitioned priority queues' implies beyond the
     reference's constant priority 0 (pg_crawl_job_worker inserts have
-    no priority column at all — new surface, documented)."""
+    no priority column at all — new surface, documented).
+
+    Priority takes effect where rows COMPETE across hosts: the global
+    ordered cut (select_round's global_budget) and the quota cut
+    (quota.apply_quota's crawl order). The per-host rank window
+    partitions by host, so with neither a global budget nor quotas
+    every selectable row is taken and stamping priority cannot change
+    the schedule."""
     pr = host_scores.select(
         "host", priority_decade(score_col, n_buckets).alias("_hp")
     )

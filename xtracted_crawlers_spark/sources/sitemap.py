@@ -12,7 +12,9 @@ Python, zero shuffle until the seed-ordering window, which runs over the
 extracted seed list, not the corpus). Supported subset of the sitemap
 protocol (sitemaps.org, 2008): ``<urlset><url><loc>/<lastmod>`` and
 ``<sitemapindex><sitemap><loc>/<lastmod>``, attributes on the container
-tags tolerated, un-prefixed tag names only, no CDATA — the same
+tags tolerated, the five predefined XML entities unescaped in ``<loc>``
+(the protocol REQUIRES entity-escaping URLs there), un-prefixed tag
+names only, no CDATA and no numeric character references — the same
 documented-regex-subset policy as linkgraph.HREF_PATTERN. Per the spec
 ``<loc>`` must be absolute, but relative locs resolve against the
 sitemap's own URL (same RFC 3986 resolver as link extraction, so dot
@@ -34,6 +36,24 @@ SITEMAP_BLOCK_RE = "(?s)<sitemap\\b[^>]*>(.*?)</sitemap>"
 LOC_RE = "<loc>\\s*([^<]*?)\\s*</loc>"
 LASTMOD_RE = "<lastmod>\\s*([^<]*?)\\s*</lastmod>"
 
+# the five predefined XML entities — the sitemap protocol REQUIRES
+# entity-escaping loc URLs (an &-carrying query string arrives as
+# &amp;). Unescape order: &amp; LAST, so '&amp;lt;' round-trips to the
+# literal '&lt;' and not '<'; the escape order is its mirror image.
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
+
+
+def xml_unescape(col):
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def xml_escape(col):
+    for ent, ch in reversed(_XML_ENTITIES):
+        col = F.replace(col, F.lit(ch), F.lit(ent))
+    return col
+
 
 def _entries_of_kind(sitemaps: DataFrame, url_col: str, xml_col: str, block_re: str, kind: str) -> DataFrame:
     xml = F.col(xml_col).cast("string")  # pages.html is binary; UTF-8 decode
@@ -43,7 +63,7 @@ def _entries_of_kind(sitemaps: DataFrame, url_col: str, xml_col: str, block_re: 
             "pos", "block"
         ),
     )
-    loc = F.regexp_extract("block", LOC_RE, 1)
+    loc = xml_unescape(F.regexp_extract("block", LOC_RE, 1))
     lastmod = F.regexp_extract("block", LASTMOD_RE, 1)
     return (
         blocks.withColumn("_loc", loc)
@@ -190,7 +210,9 @@ def render_sitemap(urls: DataFrame, group_col: str, loc_col: str, lastmod_col=No
         if lastmod_col
         else F.lit("")
     )
-    entry = F.concat(F.lit("<url><loc>"), F.col(loc_col), F.lit("</loc>"), lastmod, F.lit("</url>"))
+    entry = F.concat(
+        F.lit("<url><loc>"), xml_escape(F.col(loc_col)), F.lit("</loc>"), lastmod, F.lit("</url>")
+    )
     return (
         urls.select(F.col(group_col).alias("g"), entry.alias("e"), F.col(loc_col).alias("_loc"))
         .groupBy("g")
