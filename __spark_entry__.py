@@ -675,6 +675,32 @@ from s3
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 4): docs with doc_id % 17 == 0
+    play the benchmark/test set; every other doc is flagged when it
+    shares a 5-word shingle with any probe (5, not the published 13,
+    because the synthetic docs are short). The near-dup structure in
+    the corpus guarantees real hits."""
+    d = _t(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return dedup.contamination_flags(corpus, probes, n=5)
+
+
+SQL_TEXT_DECONTAMINATE = """
+with w as (select doc_id, string_split_regex(trim(text), '\\s+') as words from documents),
+e as (select doc_id, words, unnest(generate_series(1, greatest(len(words) - 4, 0))) as i from w),
+sh as (select distinct doc_id, array_to_string(words[i:i+4], ' ') as shingle from e),
+ps as (select distinct shingle from sh where doc_id % 17 = 0),
+cs as (select doc_id, shingle from sh where doc_id % 17 <> 0),
+h as (select cs.doc_id, count(*) as n_hits from cs join ps using (shingle) group by cs.doc_id),
+c as (select doc_id from documents where doc_id % 17 <> 0)
+select c.doc_id, cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       coalesce(h.n_hits, 0) > 0 as contaminated
+from c left join h using (doc_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1766,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
+        "text_decontaminate": q_text_decontaminate,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1822,6 +1849,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_redact": SQL_TEXT_REDACT,
+        "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

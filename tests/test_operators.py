@@ -369,3 +369,31 @@ def test_incremental_band_cap_is_per_side(spark):
     assert by_vs.get("corpus") == {(i, 100) for i in range(1, 6)}
     # batch bucket size 5 > cap: self-join candidates dropped
     assert "batch" not in by_vs
+
+
+def test_contamination_flags_planted(spark):
+    """Decontamination: a corpus doc quoting a 13-gram from the probe
+    set is flagged; paraphrases and clean docs are not; short docs
+    still appear with zero hits."""
+    probe_text = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                  "juliet kilo lima mike november oscar")
+    probes = spark.createDataFrame([(1000, probe_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then alpha bravo charlie delta echo foxtrot golf "
+                "hotel india juliet kilo lima mike quoted verbatim"),
+            (2, "alpha bravo charlie but then it diverges completely from the "
+                "benchmark text entirely different words here now ok"),
+            (3, "totally unrelated content with no overlap whatsoever at all "
+                "in any of its words"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in
+           dedup.contamination_flags(corpus, probes, n=13).collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)  # 3-word prefix overlap < 13-gram window
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)  # shingle-less doc still reported
+    assert set(got) == {1, 2, 3, 4}

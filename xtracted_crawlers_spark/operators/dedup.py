@@ -326,6 +326,39 @@ def incremental_minhash_pairs(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / The Pile): flag
+    corpus docs sharing at least one n-word shingle with any probe
+    (benchmark / test-set) document. Output (doc_id, n_hits,
+    contaminated) for every corpus doc.
+
+    Scale shape: probe shingles are distinct'd benchmark-sized (small —
+    AQE broadcasts them); corpus shingles are generated map-side
+    (shingle_array, no shuffle) and the only shuffles are the hit
+    aggregate and the final left join. n=13 is the published
+    decontamination window; lower it for short-document corpora."""
+    p = probes.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ps = shingles_df(p, n).select("shingle").distinct()
+    hits = (
+        shingles_df(c, n)
+        .join(ps, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return c.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     iters: int = 6,
