@@ -701,6 +701,124 @@ from c left join h using (doc_id)
 """
 
 
+def _repetition_fixture_col() -> F.Column:
+    """Line-structured fixture text, derivable identically in DuckDB: the
+    corpus docs carry no newlines, so ' merge ' occurrences become line
+    breaks, docs with doc_id%3==0 get a guaranteed duplicated line and
+    docs with doc_id%5==0 a repeated-bigram tail."""
+    i = F.col("doc_id")
+    base = F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))
+    dup = F.concat(
+        F.lit("\ndup line "), (i % 7).cast("string"),
+        F.lit("\ndup line "), (i % 7).cast("string"),
+    )
+    rep = F.concat(
+        F.lit("\n"), F.expr("repeat('lorem ipsum ', cast(2 + doc_id % 4 as int))")
+    )
+    return F.concat(
+        base,
+        F.when(i % 3 == 0, dup).otherwise(F.lit("")),
+        F.when(i % 5 == 0, rep).otherwise(F.lit("")),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 Table A1):
+    duplicate-line fraction, duplicate-line char fraction, top-bigram
+    char fraction, and the combined keep gate at the published
+    thresholds. All map-only higher-order-function expressions — the
+    oracle recomputes them relationally (unnest + group by)."""
+    d = _t(spark, sf_dir, "documents")
+    t = _repetition_fixture_col()
+    return d.select(
+        "doc_id",
+        textops.dup_line_frac(t).alias("dup_line_frac"),
+        textops.dup_line_char_frac(t).alias("dup_line_char_frac"),
+        textops.top_bigram_char_frac(t).alias("top_bigram_char_frac"),
+        textops.gopher_keep(t).alias("keep"),
+    )
+
+
+_SQL_REP_FIXTURE = (
+    "replace(text, ' merge ', chr(10))"
+    " || case when doc_id % 3 = 0 then"
+    " chr(10) || 'dup line ' || cast(doc_id % 7 as varchar)"
+    " || chr(10) || 'dup line ' || cast(doc_id % 7 as varchar) else '' end"
+    " || case when doc_id % 5 = 0 then"
+    " chr(10) || repeat('lorem ipsum ', cast(2 + doc_id % 4 as int)) else '' end"
+)
+
+SQL_TEXT_REPETITION = f"""
+with d as (
+  select doc_id, {_SQL_REP_FIXTURE} as ftext
+  from documents
+),
+l as (
+  select doc_id, trim(x) as line
+  from d, unnest(string_split(ftext, chr(10))) as u(x)
+  where trim(x) <> ''
+),
+lc as (
+  select doc_id, line, count(*) as cnt, length(line) as len
+  from l group by doc_id, line
+),
+ls as (
+  select doc_id,
+         sum(cnt) as n_lines,
+         count(*) as n_distinct,
+         sum(cnt * len) as tot_chars,
+         sum(case when cnt > 1 then cnt * len else 0 end) as dup_chars
+  from lc group by doc_id
+),
+wd as (
+  select doc_id,
+         case when length(trim(ftext)) = 0 then []::varchar[]
+              else string_split_regex(trim(ftext), '\\s+') end as ws
+  from d
+),
+wt as (
+  select doc_id,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0) as wchars,
+         case when len(ws) < 2 then []::varchar[]
+              else list_transform(ws[1:len(ws)-1], (x, i) -> x || ' ' || ws[i+1])
+         end as bgs
+  from wd
+),
+bg as (
+  select doc_id, u.x as bigram
+  from wt, unnest(bgs) as u(x)
+),
+bgc as (
+  select doc_id, bigram, count(*) as cnt, length(bigram) - 1 as clen
+  from bg group by doc_id, bigram
+),
+top as (
+  select doc_id, cnt, clen,
+         row_number() over (partition by doc_id order by cnt desc, clen desc) as rn
+  from bgc
+),
+tb as (select doc_id, cnt * clen as cov from top where rn = 1),
+stats as (
+  select d.doc_id,
+         coalesce(round((ls.n_lines - ls.n_distinct) * 1.0 / ls.n_lines, 4), 0.0)
+             as dup_line_frac,
+         coalesce(round(ls.dup_chars * 1.0 / ls.tot_chars, 4), 0.0)
+             as dup_line_char_frac,
+         case when wt.wchars = 0 or tb.cov is null then 0.0
+              else round(least(1.0, tb.cov * 1.0 / wt.wchars), 4) end
+             as top_bigram_char_frac
+  from d
+  left join ls using (doc_id)
+  left join wt using (doc_id)
+  left join tb using (doc_id)
+)
+select doc_id, dup_line_frac, dup_line_char_frac, top_bigram_char_frac,
+       (dup_line_frac <= 0.30 and dup_line_char_frac <= 0.20
+        and top_bigram_char_frac <= 0.20) as keep
+from stats
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1793,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
         "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1850,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_redact": SQL_TEXT_REDACT,
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+        "text_repetition": SQL_TEXT_REPETITION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

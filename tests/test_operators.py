@@ -397,3 +397,64 @@ def test_contamination_flags_planted(spark):
     assert got[3] == (0, False)
     assert got[4] == (0, False)  # shingle-less doc still reported
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_repetition_stats_hand_cases(spark):
+    """Gopher repetition filters on hand-computed documents: duplicate
+    lines, duplicate-line chars, top-bigram coverage, and the combined
+    gate at the published thresholds."""
+    from pyspark.sql import functions as F
+
+    from xtracted_crawlers_spark.operators import textops
+
+    rows = [
+        # 4 nonblank lines ("a b c" x2), dup chars 10/29, top bigram
+        # "a b" (2 occurrences, 2 chars) over 22 word chars
+        (0, "a b c\na b c\nunique line here\n\n  \nx y"),
+        (1, ""),                                  # blank: all zero, kept
+        (2, "one two one two one two one two"),   # top bigram covers all
+        (3, "single"),                            # no bigram
+        (4, "word " * 50),                        # overlapping runs: capped at 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textops.dup_line_frac(t).alias("dlf"),
+            textops.dup_line_char_frac(t).alias("dlcf"),
+            textops.top_bigram_char_frac(t).alias("tbcf"),
+            textops.gopher_keep(t).alias("keep"),
+        ).collect()
+    }
+    assert got[0]["dlf"] == 0.25
+    assert got[0]["dlcf"] == round(10 / 29, 4)
+    assert got[0]["tbcf"] == round(4 / 22, 4)
+    assert got[0]["keep"] is False  # dlcf 0.3448 > 0.20
+    assert (got[1]["dlf"], got[1]["dlcf"], got[1]["tbcf"], got[1]["keep"]) == (
+        0.0, 0.0, 0.0, True)
+    assert got[2]["tbcf"] == 1.0 and got[2]["keep"] is False
+    assert (got[3]["tbcf"], got[3]["keep"]) == (0.0, True)
+    assert got[4]["tbcf"] == 1.0  # 49 overlapping "word word" capped
+
+
+def test_repetition_stats_map_only_plan(spark):
+    """The repetition statistics must stay shuffle-free: per-document
+    higher-order expressions, no Exchange, no Python in the plan."""
+    from pyspark.sql import functions as F
+
+    from xtracted_crawlers_spark.operators import textops
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x y z\nx y z\nw "), F.col("id").cast("string")).alias("text"),
+    )
+    out = df.select(
+        textops.dup_line_frac(F.col("text")).alias("a"),
+        textops.dup_line_char_frac(F.col("text")).alias("b"),
+        textops.top_bigram_char_frac(F.col("text")).alias("c"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan

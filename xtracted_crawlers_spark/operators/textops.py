@@ -148,3 +148,135 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the rolling-hash document signature, exact-dedup key)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality filters, Rae et al. 2021
+# "Scaling Language Models", Table A1). All three are MAP-ONLY: each
+# document's statistics depend only on its own text, computed with
+# higher-order array functions inside whole-stage codegen — no shuffle,
+# no Python, so they cost one pass over the corpus at any scale.
+# ---------------------------------------------------------------------------
+
+
+def _nonblank_lines(text: Column) -> Column:
+    """Trimmed non-blank lines of the document (the unit of the
+    duplicate-line filters; blank lines are layout, not content)."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def _words_array(text: Column) -> Column:
+    """Whitespace-split words; empty array for blank text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line
+    (n_lines - n_distinct) / n_lines; 0.0 for line-less text."""
+    lines = _nonblank_lines(text)
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(lines))).cast("double") / n, 4)
+    )
+
+
+def dup_line_char_frac(text: Column) -> Column:
+    """Fraction of line characters inside lines that occur more than once.
+
+    Sort the line array, then an index-aware transform marks elements
+    equal to a sorted neighbour (= members of a duplicate group) and
+    sums their lengths — O(L log L) per document, still map-only."""
+    s = F.array_sort(_nonblank_lines(text))
+    n = F.size(s)
+    total = F.aggregate(s, F.lit(0), lambda acc, x: acc + F.length(x))
+    # transform index i is 0-based; element_at is 1-based, so the sorted
+    # predecessor of element i is element_at(s, i) and the successor is
+    # element_at(s, i + 2).
+    dup = F.aggregate(
+        F.transform(
+            s,
+            lambda x, i: F.when(
+                ((i > 0) & (x == F.element_at(s, i)))
+                | ((i < n - 1) & (x == F.element_at(s, i + 2))),
+                F.length(x),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(dup.cast("double") / total, 4)
+    )
+
+
+def top_bigram_char_frac(text: Column) -> Column:
+    """Fraction of word characters covered by the most frequent word
+    bigram: top_count * top_bigram_chars / total_word_chars, where a
+    bigram's chars are its two words' lengths (the joining space is not
+    counted and inter-word whitespace is not part of the denominator).
+
+    Sorting the bigram array makes equal bigrams adjacent, so one
+    aggregate fold tracks the longest run — map-only like the line
+    stats. Among equally-frequent bigrams the longest is taken; any
+    further tie has the same (count, chars) and therefore the same
+    fraction, so the statistic is deterministic without a total order."""
+    w = _words_array(text)
+    n = F.size(w)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    zero = F.lit(0)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("bcnt"),
+        zero.alias("blen"),
+    )
+
+    def step(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        clen = F.length(x) - 1
+        better = (run2 > acc["bcnt"]) | ((run2 == acc["bcnt"]) & (clen > acc["blen"]))
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["bcnt"]).alias("bcnt"),
+            F.when(better, clen).otherwise(acc["blen"]).alias("blen"),
+        )
+
+    best = F.aggregate(bigrams, init, step)
+    # overlapping occurrences ("word word word ...") can cover more
+    # char-slots than the document has characters; cap keeps this a
+    # fraction, matching the spirit of "characters contained within".
+    return F.when((n < 2) | (total == 0), F.lit(0.0)).otherwise(
+        F.round(
+            F.least(F.lit(1.0), (best["bcnt"] * best["blen"]).cast("double") / total), 4
+        )
+    )
+
+
+def gopher_keep(
+    text: Column,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+) -> Column:
+    """Combined repetition gate with the Gopher paper's published
+    thresholds (dup lines 30%, dup line chars 20%, top-2-gram chars
+    20%) — true = document survives the repetition filters."""
+    return (
+        (dup_line_frac(text) <= max_dup_line_frac)
+        & (dup_line_char_frac(text) <= max_dup_line_char_frac)
+        & (top_bigram_char_frac(text) <= max_top_bigram_char_frac)
+    )
