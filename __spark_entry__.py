@@ -819,6 +819,64 @@ from stats
 """
 
 
+def _line_dedup_fixture(d: DataFrame) -> DataFrame:
+    """Line-structured corpus with guaranteed cross-doc duplicate lines:
+    ' merge ' occurrences become line breaks (as in text_repetition) and
+    every doc gains a boilerplate footer shared by ~1/4 of the corpus —
+    the nav-bar/cookie-banner shape line_dedup exists for."""
+    i = F.col("doc_id")
+    t = F.concat(
+        F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")),
+        F.lit("\nshared footer "),
+        (i % 4).cast("string"),
+    )
+    return d.select("doc_id", t.alias("ftext"))
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style line-level corpus dedup: a line survives only at its
+    globally first (doc_id, pos) occurrence; the oracle recomputes the
+    winner with a row_number window over the identical normalized key."""
+    docs = _line_dedup_fixture(_t(spark, sf_dir, "documents"))
+    out = dedup.line_dedup(docs, text_col="ftext", mode="keep_first")
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_lines", "n_kept"
+    )
+
+
+_SQL_LINE_FIXTURE = (
+    "replace(text, ' merge ', chr(10)) || chr(10) || 'shared footer '"
+    " || cast(doc_id % 4 as varchar)"
+)
+
+SQL_TEXT_LINE_DEDUP = f"""
+with d as (select doc_id, {_SQL_LINE_FIXTURE} as ftext from documents),
+sp as (select doc_id, string_split(ftext, chr(10)) as ls from d),
+l as (
+  select doc_id, i as pos, trim(ls[i]) as line,
+         lower(regexp_replace(trim(ls[i]), '\\s+', ' ', 'g')) as key
+  from sp, unnest(generate_series(1, len(ls))) as g(i)
+  where trim(ls[i]) <> ''
+),
+k as (
+  select doc_id, pos, line,
+         row_number() over (partition by key order by doc_id, pos) as rn
+  from l
+),
+kept as (select doc_id, pos, line from k where rn = 1),
+agg as (
+  select doc_id, string_agg(line, chr(10) order by pos) as clean_text,
+         count(*) as n_kept
+  from kept group by doc_id
+),
+tot as (select doc_id, count(*) as n_lines from l group by doc_id)
+select d.doc_id, md5(coalesce(agg.clean_text, '')) as clean_md5,
+       cast(coalesce(tot.n_lines, 0) as bigint) as n_lines,
+       cast(coalesce(agg.n_kept, 0) as bigint) as n_kept
+from d left join tot using (doc_id) left join agg using (doc_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1912,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
+        "text_line_dedup": q_text_line_dedup,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1970,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact": SQL_TEXT_REDACT,
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "text_repetition": SQL_TEXT_REPETITION,
+        "text_line_dedup": SQL_TEXT_LINE_DEDUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

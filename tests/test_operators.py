@@ -458,3 +458,64 @@ def test_repetition_stats_map_only_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_dedup_keep_first(spark):
+    """CCNet-style keep-first: a line survives only at its globally first
+    (doc_id, pos) occurrence; matching is case/whitespace-insensitive but
+    the ORIGINAL line text is what survives."""
+    from xtracted_crawlers_spark.operators import dedup
+
+    rows = [
+        (0, "Nav Bar\nunique zero\nfooter (c) 2026"),
+        (1, "nav  bar\nunique one\nfooter (c) 2026"),   # both boilerplate lines lose
+        (2, "unique two\nNav Bar"),                      # later occurrence loses
+        (3, ""),                                          # empty doc: zero lines
+        (4, "unique zero"),                               # dup of doc 0's line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    assert got[0]["clean_text"] == "Nav Bar\nunique zero\nfooter (c) 2026"
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (3, 3)
+    assert got[1]["clean_text"] == "unique one"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 1)
+    assert got[2]["clean_text"] == "unique two"
+    assert got[3]["clean_text"] == "" and got[3]["n_lines"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_lines"] == 1 and got[4]["n_kept"] == 0
+
+
+def test_line_dedup_drop_frequent(spark):
+    """C4-style drop-frequent: every occurrence of a line with corpus
+    document-frequency >= min_df disappears, including the first."""
+    from xtracted_crawlers_spark.operators import dedup
+
+    rows = [
+        (0, "boiler\nkeep zero\ntwice"),
+        (1, "boiler\nkeep one\ntwice"),
+        (2, "boiler\nkeep two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.line_dedup(df, mode="drop_frequent", min_df=3).collect()}
+    # 'boiler' df=3 -> dropped everywhere; 'twice' df=2 -> survives both
+    assert got[0]["clean_text"] == "keep zero\ntwice"
+    assert got[1]["clean_text"] == "keep one\ntwice"
+    assert got[2]["clean_text"] == "keep two"
+    assert all(got[i]["n_lines"] == 3 for i in (0, 1)) and got[2]["n_lines"] == 2
+
+
+def test_line_dedup_no_window_over_line_key(spark):
+    """The first-occurrence winner must be a partial-combine aggregate,
+    never a window over the line key: a boilerplate line in 10^9 docs
+    would concentrate a window's whole partition on one task."""
+    from pyspark.sql import functions as F
+
+    from xtracted_crawlers_spark.operators import dedup
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared line\nuniq "), F.col("id").cast("string")).alias("text"),
+    )
+    out = dedup.line_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert out.count() == 100

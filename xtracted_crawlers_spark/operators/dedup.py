@@ -492,3 +492,90 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             *[F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(16)]
         ).alias("simhash"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "keep_first",
+    min_df: int = 3,
+) -> DataFrame:
+    """Line-level corpus dedup (C4 / CCNet-style boilerplate removal).
+
+    Web pages repeat whole lines across documents — nav bars, cookie
+    banners, copyright footers. Doc-level dedup (exact_duplicates) can't
+    touch these; this operator dedups at LINE granularity across the
+    whole corpus:
+
+    - ``keep_first``: a line (matched on its whitespace-collapsed
+      lowercase form) survives only at its globally first occurrence,
+      ordered by (doc_id, line position) — CCNet's hashed-line dedup.
+    - ``drop_frequent``: every occurrence of a line appearing in ≥
+      ``min_df`` positions corpus-wide is removed — C4's rule (min_df=3)
+      that drops boilerplate everywhere, including the first copy.
+
+    Returns one row per input doc: (doc_id, clean_text, n_lines, n_kept)
+    where clean_text re-joins the surviving lines in original order
+    ('' when nothing survives).
+
+    Scale: the first-occurrence winner is a groupBy(key).min(struct) —
+    partial-combine aggregation, so a boilerplate line in 10^9 docs never
+    concentrates on one task the way a window over the key would. The
+    join back on the line key is the only skew-exposed step and AQE's
+    skew-join splitting handles it; reassembly is one groupBy(doc).
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .withColumn("line", F.trim("raw"))
+        .filter(F.col("line") != "")
+        .withColumn("key", F.lower(F.regexp_replace("line", r"\s+", " ")))
+        .select("doc_id", "pos", "line", "key")
+    )
+    if mode == "keep_first":
+        winners = lines.groupBy("key").agg(
+            F.min(F.struct("doc_id", "pos")).alias("first_occ")
+        )
+        kept = (
+            lines.join(winners, "key")
+            .filter(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+            .select("doc_id", "pos", "line")
+        )
+    elif mode == "drop_frequent":
+        counts = lines.groupBy("key").agg(F.count("*").alias("df"))
+        kept = (
+            lines.join(counts, "key")
+            .filter(F.col("df") < F.lit(min_df))
+            .select("doc_id", "pos", "line")
+        )
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"mode must be keep_first|drop_frequent, got {mode!r}")
+
+    assembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
