@@ -101,6 +101,112 @@ def test_robots_parse():
     assert scheduler.parse_robots("") == ([], [], None)
 
 
+# (pattern, path, should_match) — the RFC 9309 / Google robots-spec
+# wildcard examples: '*' any run, trailing '$' end anchor, else literal.
+_WILDCARD_CASES = [
+    ("/fish", "/fish", True),
+    ("/fish", "/fishheads/yummy.html", True),
+    ("/fish", "/Fish.asp", False),
+    ("/fish", "/catfish", False),
+    ("/fish*", "/fish.html?id=anything", True),
+    ("/fish*", "/desert/fish", False),
+    ("/fish/", "/fish/", True),
+    ("/fish/", "/fish", False),
+    ("/fish/", "/fish/salmon.htm", True),
+    ("/*.php", "/index.php", True),
+    ("/*.php", "/folder/any.php.file.html", True),
+    ("/*.php", "/", False),
+    ("/*.php", "/windows.PHP", False),
+    ("/*.php$", "/filename.php", True),
+    ("/*.php$", "/filename.php?parameters", False),
+    ("/*.php$", "/filename.php5", False),
+    ("/fish*.php", "/fish.php", True),
+    ("/fish*.php", "/fishheads/catfish.php?parameters", True),
+    ("/fish*.php", "/Fish.PHP", False),
+    ("/a$", "/a", True),
+    ("/a$", "/ab", False),
+    ("/p+q(1)", "/p+q(1)x", True),  # regex specials stay literal
+    ("/p+q(1)", "/ppq1x", False),
+]
+
+
+def test_robots_pattern_regex_spec_cases():
+    import re
+
+    for pat, path, want in _WILDCARD_CASES:
+        got = re.search(scheduler.robots_pattern_regex(pat), path) is not None
+        assert got is want, (pat, path, want)
+
+
+def test_robots_gate_wildcards_engine_matches_python(spark):
+    """The gate's JVM \\Q..\\E translation ≡ robots_pattern_regex over
+    the spec cases AND a seeded fuzz grid of wildcard patterns × paths
+    (incl. regex metacharacters and the $ mid-pattern literal case)."""
+    import random
+    import re
+
+    rnd = random.Random(909)
+    # paths must be URI-legal (parse_url rejects raw \ { } | etc.);
+    # patterns are free-form and may carry any regex metacharacter
+    path_chars = "ab.$+()!',;=:@-_~/E"
+    pat_chars = "ab.$*+?()[]{}|\\/E"
+    fuzz_paths = [
+        "/" + "".join(rnd.choice(path_chars) for _ in range(rnd.randint(0, 12)))
+        for _ in range(40)
+    ]
+    fuzz_pats = [
+        "/" + "".join(rnd.choice(pat_chars) for _ in range(rnd.randint(1, 8)))
+        for _ in range(25)
+    ]
+    cases = [(p, pth) for p, pth, _ in _WILDCARD_CASES] + [
+        (p, pth) for p in fuzz_pats for pth in fuzz_paths
+    ]
+    rows = [
+        (f"case{i}.test", f"https://case{i}.test{path}", [pat])
+        for i, (pat, path) in enumerate(cases)
+    ]
+    sel = spark.createDataFrame(rows, "host string, url string, disallow array<string>")
+    rules = sel.select("host", "disallow").withColumn(
+        "allow", F.array().cast("array<string>")
+    )
+    kept = {
+        r["host"]
+        for r in scheduler.apply_robots_gate(sel.drop("disallow"), rules).collect()
+    }
+    for i, (pat, path) in enumerate(cases):
+        blocked = re.search(scheduler.robots_pattern_regex(pat), path) is not None
+        assert (f"case{i}.test" not in kept) is blocked, (pat, path)
+
+
+def test_robots_gate_wildcard_precedence(spark):
+    """Longest raw pattern (wildcards counted) wins; Allow wins ties —
+    with wildcard rules on both sides."""
+    sel = spark.createDataFrame(
+        [
+            ("w.test", "https://w.test/shop/item.php"),   # dis /*.php (6) vs alw /shop/* (7) -> allowed
+            ("w.test", "https://w.test/x/item.php"),      # only dis matches -> blocked
+            ("w.test", "https://w.test/shop/item.html"),  # only alw matches -> allowed
+            ("t.test", "https://t.test/a/b.php"),         # tie len 6: /*.php$ vs /a/*.p* ... see rules
+        ],
+        "host string, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("w.test", ["/*.php"], ["/shop/*"]),
+            ("t.test", ["/a/*.php"], ["/a/*.ph*"]),  # equal len 8: Allow wins tie
+        ],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    kept = sorted(
+        (r["host"], r["url"]) for r in scheduler.apply_robots_gate(sel, rules).collect()
+    )
+    assert kept == [
+        ("t.test", "https://t.test/a/b.php"),
+        ("w.test", "https://w.test/shop/item.html"),
+        ("w.test", "https://w.test/shop/item.php"),
+    ]
+
+
 def test_robots_gate_and_budget(spark):
     fr = FR.ingest_seeds(
         _seeds(

@@ -39,12 +39,12 @@ _DEFAULT_ROUND_SECONDS = 60.0
 
 
 def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]]:
-    """Minimal robots.txt subset for the 'User-agent: *' group: Disallow
-    and Allow path prefixes (empty value = no rule) and Crawl-delay.
-    Precedence is applied by the gate, not here (RFC 9309 longest-match,
-    Allow wins ties). No '*'/'$' wildcards or %-decoding — documented
-    prefix-match subset. Pure function; used both by the vectorized
-    parser and the simulator."""
+    """Minimal robots.txt parse for the 'User-agent: *' group: Disallow
+    and Allow path patterns (empty value = no rule) and Crawl-delay.
+    Patterns may carry RFC 9309 '*' (any char run) and trailing '$'
+    (end anchor) wildcards — matching and longest-match precedence are
+    applied by the gate, not here. No %-decoding (documented gap). Pure
+    function; used both by the vectorized parser and the simulator."""
     disallow: list[str] = []
     allow: list[str] = []
     delay: Optional[float] = None
@@ -68,6 +68,44 @@ def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]
             except ValueError:
                 pass
     return disallow, allow, delay
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored Python regex: '*' matches any
+    char run (incl. empty), a TRAILING '$' anchors at end-of-path, every
+    other char is literal ('$' mid-pattern included). Specificity for
+    longest-match precedence is the RAW pattern length (octets, wildcard
+    chars counted — the gate and the simulator both use ``len(pattern)``).
+    Pure-Python twin of the gate's JVM translation (same split/anchor
+    construction; the JVM side quotes with \\Q..\\E, this side with
+    re.escape — fuzz-tested equivalent in tests)."""
+    ends = pattern.endswith("$")
+    core = pattern[:-1] if ends else pattern
+    body = ".*".join(re.escape(seg) for seg in core.split("*"))
+    return "^" + body + ("$" if ends else "")
+
+
+def _pattern_rx(p):
+    """JVM Column twin of robots_pattern_regex: trailing '$' → anchor,
+    '*' → '.*', literal segments quoted with \\Q..\\E (any embedded
+    '\\E' re-opened the Pattern.quote way), '^' prepended. Pure string
+    expressions — evaluated inside the gate's higher-order filter."""
+    ends = p.endswith("$")
+    core = F.when(ends, F.regexp_replace(p, r"\$$", "")).otherwise(p)
+    segs = F.split(core, r"\*", -1)
+    esc = F.transform(
+        segs,
+        lambda s: F.concat(
+            F.lit("\\Q"),
+            F.replace(s, F.lit("\\E"), F.lit("\\E\\\\E\\Q")),
+            F.lit("\\E"),
+        ),
+    )
+    return F.concat(
+        F.lit("^"),
+        F.array_join(esc, ".*"),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
 
 
 def robots_rules(robots: DataFrame) -> DataFrame:
@@ -116,22 +154,37 @@ def host_budgets(
 
 def apply_robots_gate(selectable: DataFrame, rules: Optional[DataFrame]) -> DataFrame:
     """Drop rows blocked by their host's robots rules: RFC 9309
-    longest-match precedence — the longest matching Disallow prefix
-    blocks unless an Allow prefix of equal or greater length also
-    matches (Allow wins ties). With no Allow rules this degrades to the
-    plain any-Disallow-match gate. Pure JVM exprs (filter + aggregate
-    over the tiny broadcast rule arrays)."""
+    longest-match precedence — the most-specific (longest raw pattern,
+    wildcards counted) matching Disallow blocks unless an Allow of equal
+    or greater specificity also matches (Allow wins ties). Patterns
+    support '*' and trailing '$' wildcards; plain prefixes (the common
+    case in the wild) take a startswith fast-path so the per-row regex
+    compile only ever runs for rules that actually carry a wildcard.
+    With no Allow rules this degrades to the any-Disallow-match gate.
+    Pure JVM exprs (filter + aggregate over the tiny broadcast rule
+    arrays)."""
     if rules is None:
         return selectable
     gated = selectable.join(
         F.broadcast(rules.select("host", "disallow", "allow")), "host", "left"
     )
-    path = F.parse_url("url", F.lit("PATH"))
+    # RFC 9309 matches against the path INCLUDING the query string
+    # ('/*.php$' must NOT match '/filename.php?parameters' — spec example)
+    q = F.parse_url("url", F.lit("QUERY"))
+    path = F.concat(
+        F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")),
+        F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
 
     def longest_match(col: str):
+        def matches(p):
+            wild = p.contains("*") | p.endswith("$")
+            return F.when(wild, F.regexp_like(path, _pattern_rx(p))).otherwise(
+                path.startswith(p)
+            )
+
         matching = F.filter(
-            F.coalesce(F.col(col), F.array().cast("array<string>")),
-            lambda p: path.startswith(p),
+            F.coalesce(F.col(col), F.array().cast("array<string>")), matches
         )
         return F.aggregate(matching, F.lit(0), lambda acc, p: F.greatest(acc, F.length(p)))
 

@@ -105,17 +105,26 @@ class ReferenceSimulator:
         return budget
 
     def _disallowed(self, row: SimRow) -> bool:
-        # RFC 9309 longest-match: the longest matching Disallow prefix
-        # blocks unless an Allow prefix of >= length matches (Allow wins
-        # ties) — mirror of scheduler.apply_robots_gate
+        # RFC 9309 longest-match: the most-specific (longest raw pattern,
+        # '*'/'$' wildcards counted) matching Disallow blocks unless an
+        # Allow of >= specificity matches (Allow wins ties) — mirror of
+        # scheduler.apply_robots_gate via robots_pattern_regex
         rule = self.rules.get(row.host)
         if not rule:
             return False
+        import re
         from urllib.parse import urlparse
 
-        path = urlparse(row.url).path
-        maxd = max((len(p) for p in rule[0] if path.startswith(p)), default=0)
-        maxa = max((len(p) for p in rule[1] if path.startswith(p)), default=0)
+        from .scheduler import robots_pattern_regex
+
+        pr = urlparse(row.url)
+        path = pr.path + (("?" + pr.query) if pr.query else "")
+
+        def hit(p: str) -> bool:
+            return re.search(robots_pattern_regex(p), path) is not None
+
+        maxd = max((len(p) for p in rule[0] if hit(p)), default=0)
+        maxa = max((len(p) for p in rule[1] if hit(p)), default=0)
         return maxd > maxa
 
     # -- rounds ---------------------------------------------------------------
