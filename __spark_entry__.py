@@ -203,6 +203,58 @@ group by host
 """
 
 
+def q_crawl_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 9309 wildcard gate, value-checked: per host two Disallow
+    patterns — '/dp/B0*<d1>' ('*' = any char run, raw len 8) and
+    '/dp/*<d2>$' (trailing end-anchor, raw len 7) — and one Allow
+    '/dp/B0*<d2>$' (raw len 9) that out-specifies the anchored Disallow.
+    A third of the synthesized URLs carry '?ref=x', so the '$' anchor is
+    exercised against path+query exactly as the robots spec's
+    '/*.php$' vs '/filename.php?parameters' example requires. Runs
+    through the engine's scheduler.apply_robots_gate (JVM \\Q..\\E
+    regex translation inside the higher-order filter); the oracle
+    mirrors the translated regexes and the raw-length specificity
+    constants. Output: the surviving (k, host) rows."""
+    from xtracted_crawlers_spark import scheduler
+
+    sel = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey").select(
+        "k", "url", urlnorm.host(F.col("url")).alias("host")
+    )
+    hn = F.regexp_extract(F.col("host"), "shop(\\d+)", 1).cast("int")
+    d1 = F.upper(F.conv((hn % 16).cast("string"), 10, 16))
+    d2 = F.upper(F.conv(((hn * 7 + 3) % 16).cast("string"), 10, 16))
+    rules = sel.select("host").distinct().select(
+        "host",
+        F.array(
+            F.concat(F.lit("/dp/B0*"), d1),
+            F.concat(F.lit("/dp/*"), d2, F.lit("$")),
+        ).alias("disallow"),
+        F.array(F.concat(F.lit("/dp/B0*"), d2, F.lit("$"))).alias("allow"),
+    )
+    return scheduler.apply_robots_gate(sel, rules).select("k", "host")
+
+
+SQL_CRAWL_ROBOTS_WILDCARDS = f"""
+with u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url from orders),
+s as (select k, url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) as pathq
+      from u),
+r as (select host, cast(regexp_extract(host, 'shop(\\d+)', 1) as int) as hn
+      from (select distinct host from s)),
+rules as (select host, upper(to_hex(hn % 16)) as d1,
+                 upper(to_hex((hn * 7 + 3) % 16)) as d2
+          from r),
+g as (select s.k, s.host,
+        greatest(
+          case when regexp_matches(s.pathq, '^/dp/B0.*' || d1) then 8 else 0 end,
+          case when regexp_matches(s.pathq, '^/dp/.*' || d2 || '$') then 7 else 0 end
+        ) as maxd,
+        case when regexp_matches(s.pathq, '^/dp/B0.*' || d2 || '$') then 9 else 0 end as maxa
+      from s join rules using (host))
+select k, host from g where not (maxd > maxa)
+"""
+
+
 def q_crawl_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (round 4, new surface): per-host <urlset> documents
     rendered deterministically from orders-derived URLs (lastmod =
@@ -1948,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seq_assign": q_crawl_seq_assign,
         "crawl_fetch_join": q_crawl_fetch_join,
         "crawl_robots_gate": q_crawl_robots_gate,
+        "crawl_robots_wildcards": q_crawl_robots_wildcards,
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_status_metrics": q_crawl_status_metrics,
@@ -2008,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seq_assign": SQL_CRAWL_SEQ_ASSIGN,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
+        "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
         "crawl_sitemap_seeds": SQL_CRAWL_SITEMAP_SEEDS,
         "crawl_priority_schedule": SQL_CRAWL_PRIORITY_SCHEDULE,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
