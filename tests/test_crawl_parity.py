@@ -118,6 +118,49 @@ def test_parity_with_politeness(spark, corpus, tmp_path):
     _assert_parity(_final_state(spark, catalog), sim)
 
 
+def test_parity_with_priority(spark, corpus, tmp_path):
+    """Authority-priority scheduling parity: the same host_scores table
+    drives both the engine (bootstrap → with_host_priority stamps
+    log-decade buckets) and the simulator (the _host_priority twin).
+    Under a tight global budget and bounded rounds the cross-host
+    schedule — and therefore which rows completed at all — is
+    priority-driven, so any bucket or ordering drift between the two
+    implementations fails the final-state compare. One host is left
+    unscored to exercise the absent→last-bucket path, and the
+    priority-ordered run must differ from plain FIFO (i.e. the stamp
+    actually changed the schedule)."""
+    from xtracted_crawlers_spark.urlnorm import py_host
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    hosts = sorted({py_host(r["url"]) for r in seeds.collect()})
+    # spread hosts across decades: digits 1..3 → priorities 3,2,1;
+    # the lexicographically last host stays unscored → priority 4
+    scores = {h: 10 ** (i % 3) + i for i, h in enumerate(hosts[:-1])}
+    hs_df = spark.createDataFrame(list(scores.items()), "host string, score long")
+
+    cfg = CrawlConfig(global_budget=7, max_rounds=3, round_seconds=10.0)
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    run_crawl(spark, catalog, pages, seeds, cfg=cfg, host_scores=hs_df)
+    sim = _run_sim(
+        spark, corpus, with_robots=False, max_rounds=3,
+        round_seconds=10.0, global_budget=7, host_scores=scores,
+    )
+    engine_state = _final_state(spark, catalog)
+    _assert_parity(engine_state, sim)
+    # the stamped buckets themselves must match the twin
+    sim_rows = {(r["user_id"], r["job_id"], r["url_id"]): r for r in sim.frontier_rows()}
+    for key, e in engine_state.items():
+        assert e["priority"] == sim_rows[key]["priority"], key
+
+    # control: FIFO (no scores) must schedule a DIFFERENT completed set,
+    # or the priority stamp was a no-op on this corpus
+    cat_fifo = ParquetSnapshotCatalog(str(tmp_path / "fifo"))
+    run_crawl(spark, cat_fifo, pages, seeds, cfg=cfg)
+    done = lambda st: {k for k, r in st.items() if r["status"] == "complete"}
+    assert done(engine_state) != done(_final_state(spark, cat_fifo))
+
+
 def test_resume_from_snapshot(spark, corpus, tmp_path):
     """Kill between rounds, restart, final state identical to uninterrupted."""
     pages = spark.read.parquet(corpus["pages"])

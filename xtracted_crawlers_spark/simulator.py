@@ -58,6 +58,8 @@ class ReferenceSimulator:
         global_budget: Optional[int] = None,
         max_tokens: Optional[dict[str, int]] = None,
         quota: Optional[dict[str, int]] = None,  # user_id -> api_requests
+        host_scores: Optional[dict[str, float]] = None,  # host -> authority
+        priority_buckets: int = 4,
     ):
         self.pages = pages
         self.rows: dict[tuple[str, int, str], SimRow] = {}
@@ -67,6 +69,10 @@ class ReferenceSimulator:
         self.global_budget = global_budget
         self.rules: dict[str, tuple[list[str], list[str], Optional[float]]] = {}
         self.max_tokens = max_tokens or {}
+        # twin of scheduler.with_host_priority/priority_decade: log-decade
+        # buckets, 0 = most authoritative, unscored hosts sort last
+        self.host_scores = host_scores
+        self.priority_buckets = priority_buckets
         # A5 quota: remaining api_requests per user (context.py:147-150);
         # users absent from the dict are unlimited
         self.quota = dict(quota) if quota is not None else None
@@ -92,7 +98,18 @@ class ReferenceSimulator:
                 url_type=ty,
                 host=py_host(url),
                 job_urls_seq=self.seq[user_id],
+                priority=self._host_priority(py_host(url)),
             )
+
+    def _host_priority(self, host: str) -> int:
+        # mirror of scheduler.priority_decade over a host_scores table:
+        # max(0, n_buckets - digits(long(score))); absent host → n_buckets
+        if self.host_scores is None:
+            return 0
+        score = self.host_scores.get(host)
+        if score is None:
+            return self.priority_buckets
+        return max(0, self.priority_buckets - len(str(int(score))))
 
     # -- politeness ----------------------------------------------------------
     def _host_budget(self, host: str) -> int:
@@ -209,6 +226,7 @@ class ReferenceSimulator:
                 "retries": r.retries,
                 "errors": list(r.errors),
                 "job_urls_seq": r.job_urls_seq,
+                "priority": r.priority,
                 "payload_json": r.payload_json,
                 "text": r.text,
             }
