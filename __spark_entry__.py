@@ -753,6 +753,62 @@ from c left join h using (doc_id)
 """
 
 
+_BM25_PROBES = [
+    ("q_spark", "spark join window"),
+    ("q_scan", "hash table scan merge"),
+    ("q_cust", "customer order batch stream"),
+]
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text top-k over the documents table for three fixed
+    probe queries (operators/search.py): inverted postings + collection
+    stats + Lucene-default smoothed idf, k1=1.2, b=0.75, top-5 per
+    query ordered by (rounded score desc, doc_id). exact_fold makes the
+    per-(query, doc) term sum a deterministic left fold in term order so
+    the DuckDB mirror (list_dot_product against a ones vector, the
+    pagerank/ANN-proven technique) reproduces the doubles bit-for-bit
+    before the shared round(,4)."""
+    from xtracted_crawlers_spark.operators import search
+
+    probes = spark.createDataFrame(_BM25_PROBES, "query_id string, query_text string")
+    return search.bm25_topk(
+        _t(spark, sf_dir, "documents"), probes, k=5, exact_fold=True
+    )
+
+
+_SQL_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_PROBES)
+
+SQL_SEARCH_BM25 = f"""
+with d as (select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') as toks
+           from documents),
+p0 as (select doc_id, cast(len(toks) as bigint) as dl, unnest(toks) as term from d),
+p as (select doc_id, dl, term, count(*) as tf from p0 group by 1, 2, 3),
+c as (select cast(count(*) as double) as n_docs, cast(sum(dl) as double) as total_dl
+      from (select distinct doc_id, dl from p)),
+fq as (select term, count(*) as df from p group by 1),
+q as (select * from (values {_SQL_BM25_VALUES}) t(query_id, query_text)),
+qt as (select query_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(query_text), '[^a-z0-9]+'), t -> t <> ''))) as term
+       from q),
+s as (select qt.query_id, p.doc_id, p.term,
+        ln(1.0 + (c.n_docs - fq.df + 0.5) / (cast(fq.df as double) + 0.5))
+          * (cast(p.tf as double) * 2.2)
+          / (cast(p.tf as double)
+             + 1.2 * (0.25 + 0.75 * cast(p.dl as double) / (c.total_dl / c.n_docs))) as contrib
+      from p join qt using (term) join fq using (term) cross join c),
+g as (select query_id, doc_id,
+        round(list_dot_product(list(contrib order by term), list(1.0 order by term)), 4) as score
+      from s group by 1, 2),
+r as (select query_id, doc_id, score,
+        row_number() over (partition by query_id order by score desc, doc_id asc) as rank
+      from g)
+select query_id, doc_id, cast(rank as bigint) as rank, score from r where rank <= 5
+"""
+
+
 def _repetition_fixture_col() -> F.Column:
     """Line-structured fixture text, derivable identically in DuckDB: the
     corpus docs carry no newlines, so ' merge ' occurrences become line
@@ -2024,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "text_line_dedup": q_text_line_dedup,
+        "search_bm25": q_search_bm25,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2084,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "text_repetition": SQL_TEXT_REPETITION,
         "text_line_dedup": SQL_TEXT_LINE_DEDUP,
+        "search_bm25": SQL_SEARCH_BM25,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

@@ -519,3 +519,56 @@ def test_line_dedup_no_window_over_line_key(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert out.count() == 100
+
+
+def test_bm25_ranking_and_fold_parity(spark):
+    """BM25 sanity on a hand-built corpus: the doc with more query-term
+    occurrences (and shorter length) ranks first, docs without any query
+    term are absent, rare terms outweigh common ones; and the production
+    F.sum path equals the deterministic exact_fold path to 1e-9."""
+    from xtracted_crawlers_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark join fast"),
+            (1, "spark filter table scan window merge sort group agg batch"),
+            (2, "filter table scan merge sort group agg batch row value"),
+            (3, "join join join"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([("q0", "spark join")], "query_id string, query_text string")
+    got = {r["doc_id"]: r for r in search.bm25_topk(docs, queries, k=4).collect()}
+    assert 2 not in got  # no query term
+    assert got[0]["rank"] == 1  # both terms, twice, short doc
+    assert set(got) == {0, 1, 3}
+    # 'spark' (df=2) carries more idf weight than... both terms have df=2
+    # here; doc 3 (one term thrice, shortest) must beat doc 1 (one term
+    # once, longest)
+    assert got[3]["rank"] < got[1]["rank"]
+
+    exact = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in search.bm25_topk(docs, queries, k=4, exact_fold=True).collect()
+    }
+    for r in got.values():
+        assert abs(exact[("q0", r["doc_id"])] - r["score"]) <= 1e-9
+
+
+def test_bm25_plan_broadcasts_queries_and_prunes_topk(spark, sf_dir):
+    """Scale shape: the query side reaches the postings join as a
+    broadcast (the corpus side must never shuffle for it) and the
+    literal top-k rank cap runs as a Partial WindowGroupLimit before the
+    final window's exchange."""
+    from xtracted_crawlers_spark.operators import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        [("q0", "spark join window")], "query_id string, query_text string"
+    )
+    plan = (
+        search.bm25_topk(docs, queries, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan

@@ -1,0 +1,122 @@
+"""Full-text retrieval over a document corpus: tokenized postings,
+collection statistics, and BM25 ranked top-k — the query-side
+complement to the dedup/quality operators (probe a training corpus for
+benchmark contamination by topic, audit composition, find exemplars).
+
+Spark-first design for the 100-TB path:
+- postings are one explode + one (doc_id, term) aggregate with map-side
+  combine; document length rides the same pass (constant per doc, so it
+  sits in the grouping key without widening the shuffle);
+- per-term document frequency is a second aggregate keyed on term
+  (postings are already unique per (doc, term), so df = count);
+- the query set is tiny by construction (a handful of probe strings) —
+  broadcast against postings, so scoring never shuffles the corpus side
+  and only postings for query terms survive the join;
+- collection scalars (N, total token count) ride a one-row aggregate
+  cross-joined into the score expression — no driver collect;
+- top-k per query is a row_number window over (score desc, doc_id) —
+  the LITERAL rank cap becomes a Partial WindowGroupLimit, so each map
+  task forwards only its per-query top-k before the exchange.
+
+exact_fold=True makes the per-(query, doc) sum of term contributions a
+deterministic left fold in term order (collect_list → array_sort →
+F.aggregate) instead of F.sum, whose accumulation order depends on
+partitioning — the same verification/production split as
+linkgraph.pagerank: bit-reproducible and DuckDB-mirrorable
+(list_dot_product against a ones vector folds in the same order) at the
+cost of materializing each doc's matched-term list; production keeps
+F.sum's partial combine.
+
+Scoring is Robertson/Sparck Jones BM25 with the Lucene-default
+smoothed idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive),
+k1 = 1.2, b = 0.75. The reference engine has no search surface (its
+reads are crawl-state point lookups, /root/reference/xtracted/
+context.py) — this is new corpus-analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric token array (empty strings dropped) —
+    the same tokenizer the dedup shingles and the DuckDB oracles use."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl): term frequency per document plus the
+    document's token count. One explode + one aggregate; dl is constant
+    per doc_id so keying on it adds no shuffle width."""
+    t = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    t = t.select("doc_id", F.size("_toks").cast("long").alias("dl"), F.explode("_toks").alias("term"))
+    return t.groupBy("doc_id", "dl", "term").agg(F.count("*").cast("long").alias("tf"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Top-k documents per query by BM25, deterministically ordered:
+    (query_id, doc_id, rank, score) with score rounded to 4 decimals and
+    rank breaking ties on doc_id. Only documents matching at least one
+    query term are scored (standard BM25 over an inverted index)."""
+    from pyspark.sql import Window
+
+    p = postings(docs, id_col=id_col, text_col=text_col)
+    corpus = (
+        p.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.sum("dl").cast("double").alias("total_dl"),
+        )
+    )
+    dfreq = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    # idf/norm written with the exact operator shape the oracle mirrors:
+    # IEEE +,-,*,/ are bit-identical across engines given identical trees
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = (idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom).alias("contrib")
+    scored = (
+        p.join(F.broadcast(qt), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", "doc_id", "term", contrib)
+    )
+    if exact_fold:
+        score = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["contrib"],
+        )
+    else:
+        score = F.sum("contrib")
+    g = scored.groupBy("query_id", "doc_id").agg(F.round(score, 4).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        g.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("query_id", "doc_id", "rank", "score")
+    )
