@@ -809,6 +809,84 @@ select query_id, doc_id, cast(rank as bigint) as rank, score from r where rank <
 """
 
 
+def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL-quality gate (operators/urlquality.py)
+    over three deterministic URL shapes synthesized from lineitem keys:
+    product pages (mostly keepable — digit-heavy md5 ASINs straddle the
+    0.6 digit-ratio threshold), parameter-stuffed search URLs (4 query
+    params > the max-3 threshold), and deep paths, plus a host blocklist
+    (every 11th shop) applied as a broadcast left join. Features are
+    map-only JVM exprs; the oracle recomputes every signal and the gate
+    relationally."""
+    from xtracted_crawlers_spark.operators import urlquality
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 7 + F.col("l_linenumber")).cast("long").alias("k")
+    )
+    hostn = F.lpad((F.col("k") % 50).cast("string"), 5, "0")
+    md6 = F.upper(F.substring(F.md5(F.col("k").cast("string")), 1, 6))
+    shape = F.col("k") % 3
+    url = (
+        F.when(shape == 0, urlgen.url_from_key(F.col("k")))
+        .when(
+            shape == 1,
+            F.concat(
+                F.lit("https://shop"), hostn, F.lit(".example.test/search?q="), md6,
+                F.lit("&page="), (F.col("k") % 7).cast("string"),
+                F.lit("&sort=price&ref=srp"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://shop"), hostn, F.lit(".example.test/p/"),
+                (F.col("k") % 1000).cast("string"), F.lit("/"),
+                (F.col("k") % 97).cast("string"), F.lit("/"),
+                (F.col("k") % 89).cast("string"), F.lit("/item"),
+            )
+        )
+    )
+    cands = li.select("k", url.alias("url"))
+    hn = F.regexp_extract(F.col("host"), "shop(\\d+)", 1).cast("int")
+    blocked = (
+        cands.select(urlnorm.host(F.col("url")).alias("host"))
+        .distinct()
+        .filter(hn % 11 == 0)
+    )
+    return urlquality.url_keep(
+        cands, blocked_hosts=blocked, max_digit_ratio=0.6, max_params=3
+    ).select("k", "host", "depth", "digit_ratio", "n_params", "url_len", "keep")
+
+
+SQL_URL_QUALITY = f"""
+with li as (select cast(l_orderkey * 7 + l_linenumber as bigint) as k from lineitem),
+u as (select k,
+  case when k % 3 = 0 then {sql_url_from_key('k')}
+       when k % 3 = 1 then 'https://shop' || lpad(cast(k % 50 as varchar), 5, '0')
+            || '.example.test/search?q=' || upper(substr(md5(cast(k as varchar)), 1, 6))
+            || '&page=' || cast(k % 7 as varchar) || '&sort=price&ref=srp'
+       else 'https://shop' || lpad(cast(k % 50 as varchar), 5, '0')
+            || '.example.test/p/' || cast(k % 1000 as varchar) || '/'
+            || cast(k % 97 as varchar) || '/' || cast(k % 89 as varchar) || '/item'
+  end as url from li),
+f as (select k, url,
+        lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+        coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') as path,
+        case when contains(url, '?') then regexp_extract(url, '\\?([^#]*)', 1) end as query
+      from u),
+g as (select k, host,
+        cast(length(path) - length(replace(path, '/', '')) as bigint) as depth,
+        round(cast(length(regexp_replace(path, '[^0-9]', '', 'g')) as double)
+              / cast(greatest(length(path), 1) as double), 4) as digit_ratio,
+        cast(case when query is null then 0 else len(string_split(query, '&')) end as bigint) as n_params,
+        cast(length(url) as bigint) as url_len
+      from f)
+select k, host, depth, digit_ratio, n_params, url_len,
+       (digit_ratio <= 0.6 and n_params <= 3 and url_len <= 2048 and depth <= 12
+        and cast(regexp_extract(host, 'shop(\\d+)', 1) as int) % 11 <> 0) as keep
+from g
+"""
+
+
 def _repetition_fixture_col() -> F.Column:
     """Line-structured fixture text, derivable identically in DuckDB: the
     corpus docs carry no newlines, so ' merge ' occurrences become line
@@ -2081,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_line_dedup": q_text_line_dedup,
         "search_bm25": q_search_bm25,
+        "url_quality": q_url_quality,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2142,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_TEXT_REPETITION,
         "text_line_dedup": SQL_TEXT_LINE_DEDUP,
         "search_bm25": SQL_SEARCH_BM25,
+        "url_quality": SQL_URL_QUALITY,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

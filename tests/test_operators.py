@@ -572,3 +572,51 @@ def test_bm25_plan_broadcasts_queries_and_prunes_topk(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_url_quality_hand_cases(spark):
+    """Feature extraction and keep gate on hand-built URLs, including
+    the blocklist path."""
+    from xtracted_crawlers_spark.operators import urlquality
+
+    rows = [
+        (0, "https://good.test/article/title"),
+        (1, "https://good.test/search?q=x&page=2&sort=asc&ref=srp"),  # 4 params
+        (2, "https://good.test/2024/01/15/123456789/0987654321"),     # digit-heavy
+        (3, "https://spam.test/fine/path"),                           # blocklisted
+        (4, "https://good.test/" + "a/" * 13 + "deep"),               # depth > 12
+    ]
+    df = spark.createDataFrame(rows, "k long, url string")
+    blocked = spark.createDataFrame([("spam.test",)], "host string")
+    got = {
+        r["k"]: r
+        for r in urlquality.url_keep(
+            df, blocked_hosts=blocked, max_digit_ratio=0.5, max_params=3
+        ).collect()
+    }
+    assert got[0]["keep"] and got[0]["n_params"] == 0 and got[0]["depth"] == 2
+    assert not got[1]["keep"] and got[1]["n_params"] == 4
+    assert not got[2]["keep"] and got[2]["digit_ratio"] > 0.5
+    assert not got[3]["keep"] and got[3]["host"] == "spam.test"
+    assert not got[4]["keep"] and got[4]["depth"] == 14
+
+
+def test_url_quality_blocklist_broadcasts(spark, sf_dir):
+    """The blocklist join must plan as a broadcast against the URL side
+    (a frontier-scale shuffle for a 10^4-row blocklist is the exact
+    anti-pattern this operator exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from xtracted_crawlers_spark.operators import urlquality
+
+    urls = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("https://h"), (F.col("o_orderkey") % 100).cast("string"),
+                 F.lit(".test/p/"), F.col("o_orderkey").cast("string")).alias("url")
+    )
+    blocked = spark.createDataFrame([(f"h{i}.test",) for i in range(0, 100, 7)], "host string")
+    plan = (
+        urlquality.url_keep(urls, blocked_hosts=blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
