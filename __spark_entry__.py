@@ -1291,6 +1291,67 @@ from l group by 1
 """
 
 
+def q_link_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction (linkgraph.extract_anchors): synthesized
+    pages carrying a bold-markup anchor, a whitespace-padded anchor, an
+    UPPERCASE <A HREF> variant on every 3rd page, a name-anchor without
+    href (dropped) and a fragment-only link (dropped). Absolute hrefs
+    only, resolve=False — resolution has its own oracle (link_resolve);
+    this one value-checks element capture, href/inner extraction, tag
+    stripping and whitespace collapse byte-for-byte."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    md6 = F.upper(F.substring(F.md5(k.cast("string")), 1, 6))
+    pages = o.select(
+        urlgen.url_from_key(k).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="'),
+            urlgen.url_from_key(k * 13 + 1),
+            F.lit('">Buy <b>'), md6, F.lit("</b> now!</a><p>filler</p>"),
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.lit('<A HREF="'), urlgen.url_from_key(k * 29 + 7),
+                    F.lit('">ALL CAPS '), (k % 5).cast("string"), F.lit("</A>"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<a class="nav" href="'), urlgen.url_from_key(k * 29 + 7),
+                    F.lit('">  deal   of  day '), (k % 7).cast("string"), F.lit("</a>"),
+                )
+            ),
+            F.lit('<a name="top">not a link</a><a href="#frag">skip</a></body></html>'),
+        ).alias("html"),
+    )
+    return linkgraph.extract_anchors(pages, resolve=False)
+
+
+SQL_LINK_ANCHORS = f"""
+with p as (select {sql_url_from_key('o_orderkey')} as src,
+  '<html><body><a href="' || {sql_url_from_key('o_orderkey * 13 + 1')}
+  || '">Buy <b>' || upper(substr(md5(cast(o_orderkey as varchar)), 1, 6)) || '</b> now!</a><p>filler</p>'
+  || case when o_orderkey % 3 = 0 then
+       '<A HREF="' || {sql_url_from_key('o_orderkey * 29 + 7')}
+       || '">ALL CAPS ' || cast(o_orderkey % 5 as varchar) || '</A>'
+     else
+       '<a class="nav" href="' || {sql_url_from_key('o_orderkey * 29 + 7')}
+       || '">  deal   of  day ' || cast(o_orderkey % 7 as varchar) || '</a>'
+     end
+  || '<a name="top">not a link</a><a href="#frag">skip</a></body></html>' as html
+  from orders),
+e as (select src, unnest(regexp_extract_all(html, '(?is)(<a\\b[^>]*>.*?</a>)', 1)) as a from p),
+x as (select src,
+        string_split(regexp_extract(a, '(?is)\\bhref\\s*=\\s*["'']([^"''<>]*)["'']', 1), '#')[1] as dst,
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(a, '(?is)^<a\\b[^>]*>(.*)</a>$', 1),
+          '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) as anchor
+      from e)
+select src, dst, anchor from x where dst <> ''
+"""
+
+
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-URL resolution (round-2 verdict missing #1; dot segments
     + <base href>, round-3 verdict missing #4): pages whose html mixes
@@ -2147,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_prep": q_pipeline_corpus_prep,
         "pipeline_corpus_neardup": q_pipeline_corpus_neardup,
         "link_extract": q_link_extract,
+        "link_anchors": q_link_anchors,
         "link_resolve": q_link_resolve,
         "link_host_graph": q_link_host_graph,
         "link_degrees": q_link_degrees,
@@ -2209,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_corpus_prep": SQL_PIPELINE_CORPUS_PREP,
         "pipeline_corpus_neardup": SQL_PIPELINE_CORPUS_NEARDUP,
         "link_extract": SQL_LINK_EXTRACT,
+        "link_anchors": SQL_LINK_ANCHORS,
         "link_resolve": SQL_LINK_RESOLVE,
         "link_host_graph": SQL_LINK_HOST_GRAPH,
         "link_degrees": SQL_LINK_DEGREES,

@@ -290,3 +290,32 @@ def test_pagerank_exact_fold_matches_default(spark):
     want = _pagerank_py(edges_py, iters=12)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_extract_anchors_text_and_resolution(spark):
+    """Anchor triples: tag-stripped collapsed text, relative dst
+    resolution against the page URL, name-anchors and fragment-only
+    links dropped, multiple anchors per page kept in full."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    html = (
+        '<html><body>'
+        '<a href="/dp/B012345678">Buy <b>this</b>\n  now!</a>'
+        '<A HREF="https://other.test/x">CAPS  link</A>'
+        '<a name="top">not a link</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="deal">empty-ish<i></i></a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://shop.test/p/base", html)], "url string, html string"
+    )
+    got = {
+        r["dst"]: r["anchor"]
+        for r in linkgraph.extract_anchors(pages).collect()
+    }
+    assert got == {
+        "https://shop.test/dp/B012345678": "Buy this now!",
+        "https://other.test/x": "CAPS link",
+        "https://shop.test/p/deal": "empty-ish",
+    }

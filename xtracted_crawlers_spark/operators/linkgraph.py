@@ -153,6 +153,53 @@ def extract_links(
     return resolve_links(out, base_col="_base").drop("_base") if resolve else out.drop("_base")
 
 
+# a full <a ...>...</a> element, non-greedy to the FIRST closing tag —
+# RE2-compatible (no lookahead/backrefs) so the DuckDB oracle can run
+# the identical pattern
+_A_ELEMENT_RE = "(?is)(<a\\b[^>]*>.*?</a>)"
+# href value inside one element (either quote style, as HREF_PATTERN)
+_A_HREF_RE = "(?is)\\bhref\\s*=\\s*[\"']([^\"'<>]*)[\"']"
+# inner markup of the element (everything between the opening tag's
+# '>' and the closing tag)
+_A_INNER_RE = "(?is)^<a\\b[^>]*>(.*)</a>$"
+
+
+def extract_anchors(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    resolve: bool = True,
+) -> DataFrame:
+    """(src, dst, anchor) triples — out-links WITH their anchor text,
+    the signal webtext pipelines mine for link-text corpora and
+    target-page descriptions (anchor text describes the destination,
+    per the classic web-IR observation). Three chained JVM regex passes
+    per page — extract whole <a> elements, then per element the href
+    and the tag-stripped whitespace-collapsed inner text — all map-only
+    codegen, no Python. <a> tags without an href (name anchors) and
+    fragment-only links are dropped; relative dsts resolve against the
+    page URL like extract_links. The reference crawler never looks at
+    anchors (its extraction targets product fields,
+    /root/reference/xtracted/extractors.py) — corpus-analytics surface."""
+    html_s = F.col(html_col).cast("string")
+    out = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.regexp_extract_all(html_s, F.lit(_A_ELEMENT_RE), F.lit(1))
+        ).alias("_a"),
+    )
+    inner = F.regexp_extract(F.col("_a"), _A_INNER_RE, 1)
+    anchor = F.trim(
+        F.regexp_replace(F.regexp_replace(inner, "<[^>]*>", " "), "\\s+", " ")
+    )
+    out = out.select(
+        "src",
+        F.split(F.regexp_extract(F.col("_a"), _A_HREF_RE, 1), "#")[0].alias("dst"),
+        anchor.alias("anchor"),
+    ).filter(F.col("dst") != "")
+    return resolve_links(out) if resolve else out
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """Host-level weighted edge table: (src_host, dst_host, weight).
     Self-loops kept (intra-host links are a real signal); rows whose
