@@ -887,6 +887,49 @@ from g
 """
 
 
+def q_text_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style generic text extraction (textops.html_to_text) over
+    synthesized pages: each document's text wrapped in html that also
+    carries a <style> block, a <script> whose body contains '<', '&&'
+    and quotes (must vanish entirely, not leak through the tag
+    stripper), an html comment, and all six supported entities
+    (&amp; decoding last). Output is the byte-exact cleaned text."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style>"),
+        F.lit('<script>if (a < b && c > 0) { alert("x"); }</script></head>'),
+        F.lit("<body><!-- hidden --><h1>Title &amp; more</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>5 &lt; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p></body></html>"),
+    )
+    return d.select("doc_id", textops.html_to_text(html).alias("clean_text"))
+
+
+SQL_TEXT_HTML_TO_TEXT = """
+with p as (select doc_id,
+  '<html><head><title>Doc ' || cast(doc_id as varchar)
+  || '</title><style>p { color: red; }</style>'
+  || '<script>if (a < b && c > 0) { alert("x"); }</script></head>'
+  || '<body><!-- hidden --><h1>Title &amp; more</h1><p>' || text
+  || '</p><p>5 &lt; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p></body></html>' as html
+  from documents),
+s as (select doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g') as t
+      from p),
+e as (select doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+          '&nbsp;', ' '), '&amp;', '&') as t
+      from s)
+select doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) as clean_text from e
+"""
+
+
 def _repetition_fixture_col() -> F.Column:
     """Line-structured fixture text, derivable identically in DuckDB: the
     corpus docs carry no newlines, so ' merge ' occurrences become line
@@ -2222,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "search_bm25": q_search_bm25,
         "url_quality": q_url_quality,
+        "text_html_to_text": q_text_html_to_text,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2285,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": SQL_TEXT_LINE_DEDUP,
         "search_bm25": SQL_SEARCH_BM25,
         "url_quality": SQL_URL_QUALITY,
+        "text_html_to_text": SQL_TEXT_HTML_TO_TEXT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,

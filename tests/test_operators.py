@@ -620,3 +620,24 @@ def test_url_quality_blocklist_broadcasts(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_html_to_text_hand_cases(spark):
+    """Script bodies with '<' and quotes vanish entirely; style,
+    comments, tags → space; entities decode single-pass (&amp;lt; stays
+    '&lt;' literally-decoded once, not twice); whitespace collapses."""
+    from xtracted_crawlers_spark.operators import textops
+
+    cases = [
+        (0, '<p>a</p><script>if (x < 2) { s = "</p>h"; }</script><p>b</p>', "a b"),
+        (1, "<style>h1 { x: 1; }</style>ok", "ok"),
+        (2, "x<!-- <p>gone</p> -->y", "x y"),
+        (3, "5 &lt; 7 &amp;&amp; 3 &gt; 1", '5 < 7 && 3 > 1'),
+        (4, "&amp;lt;", "&lt;"),  # single-pass decode
+        (5, "  a \t b\n\nc  ", "a b c"),
+        (6, b"<b>bytes</b> ok".decode() if True else "", "bytes ok"),
+    ]
+    df = spark.createDataFrame([(k, h) for k, h, _ in cases], "k long, html string")
+    got = {r["k"]: r["t"] for r in df.select("k", textops.html_to_text(F.col("html")).alias("t")).collect()}
+    for k, _, want in cases:
+        assert got[k] == want, (k, got[k], want)

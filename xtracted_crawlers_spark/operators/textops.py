@@ -144,6 +144,38 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     return tuple(counts)
 
 
+# entity → char, &amp; deliberately LAST so '&amp;lt;' decodes to '&lt;'
+# (single-pass decode, the same convention as sources/sitemap.py)
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Generic page text from raw html — the WET-style extraction a
+    Common-Crawl-shaped corpus runs on every page (vs the reference's
+    product-field extraction, which targets specific elements):
+    script/style blocks and comments removed FIRST (their bodies carry
+    '<'/quotes that would derail a naive tag stripper), then all tags
+    → space, the six common entities decoded (&amp; last, single-pass),
+    whitespace collapsed. Pure chained JVM regexp/replace — one
+    codegen'd map pass, mirrored operator-for-operator by the DuckDB
+    oracle. html may be binary (cast decodes UTF-8) or string."""
+    s = html.cast("string")
+    s = F.regexp_replace(s, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, "(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, "<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the rolling-hash document signature, exact-dedup key)."""
