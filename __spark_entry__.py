@@ -930,6 +930,76 @@ select doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) as clean_text from e
 """
 
 
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary analytics via the search postings: top-50 terms
+    by document frequency (total term frequency carried alongside) —
+    the token-distribution audit a corpus build runs before training.
+    LIMIT determinism: order by (df desc, term asc); term is globally
+    unique after the aggregate."""
+    from xtracted_crawlers_spark.operators import search
+
+    p = search.postings(_t(spark, sf_dir, "documents"))
+    return (
+        p.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("total_tf"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+SQL_CORPUS_VOCAB = """
+with d as (select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') as toks
+           from documents),
+p0 as (select doc_id, unnest(toks) as term from d),
+p as (select doc_id, term, count(*) as tf from p0 group by 1, 2)
+select term, count(*) as df, cast(sum(tf) as bigint) as total_tf
+from p group by term
+order by df desc, term asc
+limit 50
+"""
+
+
+def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-feedback-into-crawl-priority composition: documents
+    roll up to their (synthesized doc_id→shop) host with count and mean
+    quality, and the host's quality MASS (sum of 0.25-quantized scores,
+    exact in binary so the float aggregate is order-independent) feeds
+    scheduler.priority_decade — the same bucket expression the frontier
+    stamps via with_host_priority. One groupBy with map-side combine."""
+    from xtracted_crawlers_spark import scheduler
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("shop"), F.lpad((F.col("doc_id") % 50).cast("string"), 5, "0"),
+        F.lit(".example.test"),
+    )
+    g = (
+        d.select(host.alias("host"), textops.quality_score(F.col("text")).alias("q"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("q").alias("_sum_q"))
+    )
+    return g.select(
+        "host",
+        "n_docs",
+        F.round(F.col("_sum_q") / F.col("n_docs").cast("double"), 4).alias("avg_quality"),
+        (F.col("_sum_q") * 4).cast("long").alias("quality_mass"),
+    ).withColumn("priority", scheduler.priority_decade("quality_mass"))
+
+
+SQL_HOST_QUALITY_ROLLUP = f"""
+with d as (select 'shop' || lpad(cast(doc_id % 50 as varchar), 5, '0') || '.example.test' as host,
+                  {_sql_quality()} as q
+           from documents),
+g as (select host, count(*) as n_docs, sum(q) as sum_q from d group by 1)
+select host, n_docs,
+       round(sum_q / cast(n_docs as double), 4) as avg_quality,
+       cast(sum_q * 4 as bigint) as quality_mass,
+       cast(greatest(0, 4 - length(cast(cast(sum_q * 4 as bigint) as varchar))) as int) as priority
+from g
+"""
+
+
 def _repetition_fixture_col() -> F.Column:
     """Line-structured fixture text, derivable identically in DuckDB: the
     corpus docs carry no newlines, so ' merge ' occurrences become line
@@ -2266,6 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "url_quality": q_url_quality,
         "text_html_to_text": q_text_html_to_text,
+        "corpus_vocab": q_corpus_vocab,
+        "host_quality_rollup": q_host_quality_rollup,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2330,6 +2402,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": SQL_SEARCH_BM25,
         "url_quality": SQL_URL_QUALITY,
         "text_html_to_text": SQL_TEXT_HTML_TO_TEXT,
+        "corpus_vocab": SQL_CORPUS_VOCAB,
+        "host_quality_rollup": SQL_HOST_QUALITY_ROLLUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
