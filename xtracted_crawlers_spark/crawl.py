@@ -95,6 +95,19 @@ class CrawlConfig:
     # derive + commit the jobs table (job_status/progress/heartbeat) each
     # round — the reference's jobs/running_jobs bookkeeping (quota.py)
     track_jobs: bool = True
+    # carry-over per-domain token buckets (north_star surface): a ruled
+    # host banks its unspent per-round grant up to burst_rounds× the
+    # refill (still clamped by robots max_tokens), so a host whose
+    # frontier runs dry — or whose URLs arrive mid-crawl via seed/sitemap
+    # ingest — bursts above the memoryless rate when work appears while
+    # never exceeding the long-run polite rate. State is the host_tokens
+    # catalog table (one row per ruled host, rewritten per round — one
+    # extra bounded write action, which is why this is opt-in); resume
+    # picks the bucket up from the latest committed snapshot. With a
+    # dense frontier (every host always has ≥refill pending) the
+    # schedule is identical to the memoryless default.
+    token_carryover: bool = False
+    burst_rounds: int = 4
     # sitemap seed channel (flag-gated like expand_variants; the
     # reference has no sitemap support — new surface): harvest these
     # sitemap/sitemap-index URLs from the pages table before bootstrap
@@ -111,6 +124,7 @@ class CrawlConfig:
 
 
 FRONTIER_TABLE = "frontier"
+HOST_TOKENS_TABLE = "host_tokens"
 
 
 def load_frontier(spark: SparkSession, catalog: ParquetSnapshotCatalog) -> DataFrame:
@@ -246,6 +260,21 @@ def run_round(
     aggregate, a per-table delta re-scan and an unseen-job check."""
     fr = load_frontier(spark, catalog)
 
+    # carry-over token buckets: read the banked state (empty at
+    # bootstrap ⇒ round 1 equals the memoryless budget), derive this
+    # round's per-host budget, and remember it so the unspent remainder
+    # can be committed as the next state after the selection count lands
+    token_budgets_df: Optional[DataFrame] = None
+    if cfg.token_carryover and rules is not None:
+        state = (
+            catalog.load(spark, HOST_TOKENS_TABLE)
+            if catalog.exists(HOST_TOKENS_TABLE)
+            else None
+        )
+        token_budgets_df = scheduler.token_budgets(
+            rules, state, cfg.round_seconds, cfg.burst_rounds
+        )
+
     sel = scheduler.select_round(
         FR.selectable(fr),
         rules=rules,
@@ -253,6 +282,7 @@ def run_round(
         default_budget=cfg.default_budget,
         global_budget=cfg.global_budget,
         max_host_budget=cfg.max_host_budget,
+        budgets=token_budgets_df,
     )
     # A5 quota gate: cut the politeness-cut selection to each user's
     # remaining api_requests budget, in the same crawl order. The
@@ -421,6 +451,18 @@ def run_round(
             round_id=round_id, metrics=metrics, metrics_cb=_observed_metrics,
         )
     metrics.update(_observed_metrics())
+
+    # --- token-bucket state: budget - spent, spent = the post-quota
+    # selection actually dispatched (sel is cached, so this is a tiny
+    # aggregate over materialized rows joined to the one-row-per-host
+    # budgets table; full rewrite — the table is host-bounded) ---------
+    if token_budgets_df is not None:
+        catalog.commit(
+            scheduler.spend_tokens(token_budgets_df, sel).coalesce(1),
+            HOST_TOKENS_TABLE,
+            round_id=round_id,
+            metrics={"event": "host_tokens", "round": round_id},
+        )
 
     # --- bookkeeping tables (quota, jobs) -----------------------------------
     # derived from the JUST-COMMITTED snapshot (a tiny delta-file read),
@@ -691,7 +733,15 @@ def effective_config(cfg: CrawlConfig, rules: Optional[DataFrame]) -> CrawlConfi
     # two unbounded sentinels exist: 2**62 (no crawl-delay) and 2**31-1
     # (robots_rules' max_tokens default) — both mean "no finite budget"
     finite = F.when(F.col("budget") < 2**31 - 1, F.col("budget"))
-    mb = scheduler.host_budgets(rules, cfg.round_seconds).agg(F.max(finite)).first()[0]
+    if cfg.token_carryover:
+        # carry-over buckets can burst to capacity = refill*burst_rounds;
+        # the literal cap must honor that peak, not the per-round refill
+        budgets = rules.select(
+            scheduler._token_capacity(cfg.round_seconds, cfg.burst_rounds).alias("budget")
+        )
+    else:
+        budgets = scheduler.host_budgets(rules, cfg.round_seconds)
+    mb = budgets.agg(F.max(finite)).first()[0]
     if mb is not None and int(mb) > cfg.max_host_budget:
         return replace(cfg, max_host_budget=int(mb))
     return cfg

@@ -152,6 +152,95 @@ def host_budgets(
     )
 
 
+# Internal "no finite limit" sentinel for the token-bucket path. Chosen
+# far below 2**62 so `tokens + refill` can NEVER overflow a long
+# (capacity ≤ 2**40, refill ≤ floor(round_seconds/delay); their sum is
+# well under 2**63) while still being unreachable by any real crawl
+# round (2**40 ≈ 1.1e12 URLs/round/host).
+_TOKEN_UNCAPPED = 2**40
+
+
+def _token_refill(round_seconds: float) -> F.Column:
+    """Tokens granted per round: floor(round_seconds / crawl_delay), the
+    polite request count one round permits. No crawl-delay ⇒ uncapped."""
+    return (
+        F.when(
+            F.col("crawl_delay_s") > 0,
+            F.floor(F.lit(round_seconds) / F.col("crawl_delay_s")),
+        )
+        .otherwise(F.lit(_TOKEN_UNCAPPED))
+        .cast("long")
+    )
+
+
+def _token_capacity(round_seconds: float, burst_rounds: int) -> F.Column:
+    """Bucket capacity: an idle host may bank at most ``burst_rounds``
+    rounds of refill, still clamped by the robots max_tokens cap."""
+    refill = _token_refill(round_seconds)
+    return F.least(
+        F.col("max_tokens").cast("long"),
+        F.least(refill * F.lit(burst_rounds), F.lit(_TOKEN_UNCAPPED)),
+    )
+
+
+def token_budgets(
+    rules: DataFrame,
+    state: Optional[DataFrame] = None,
+    round_seconds: float = _DEFAULT_ROUND_SECONDS,
+    burst_rounds: int = 4,
+) -> DataFrame:
+    """(host, budget): the CARRY-OVER per-domain token bucket (north_star
+    surface — ``host_budgets`` is its memoryless per-round degenerate).
+
+    budget_r = min(capacity, tokens_{r-1} + refill) where
+    refill   = floor(round_seconds / crawl_delay)   (per-round grant)
+    capacity = min(max_tokens, refill * burst_rounds) (bank limit)
+    tokens   = the carried state from ``spend_tokens`` (0 at bootstrap,
+               so round 1 equals the memoryless ``host_budgets`` cut for
+               any finitely-budgeted host — the compatibility invariant;
+               a host whose frontier runs dry banks its unspent grant
+               and may burst up to ``capacity`` when URLs arrive).
+
+    Pure column arithmetic over the rules table (one row per host) plus
+    one equi-join against the equally tiny state table — the result is
+    broadcast into the rank cut by ``select_round``. All integer math:
+    the DuckDB oracle reproduces it exactly, and nothing can overflow
+    (capacity ≤ 2**40, see _TOKEN_UNCAPPED)."""
+    b = rules.select(
+        "host",
+        _token_refill(round_seconds).alias("_refill"),
+        _token_capacity(round_seconds, burst_rounds).alias("_cap"),
+    )
+    if state is not None:
+        b = b.join(state.select("host", "tokens"), "host", "left")
+    else:
+        b = b.withColumn("tokens", F.lit(None).cast("long"))
+    return b.select(
+        "host",
+        F.least(
+            F.col("_cap"), F.coalesce(F.col("tokens"), F.lit(0)) + F.col("_refill")
+        ).alias("budget"),
+    )
+
+
+def spend_tokens(budgets: DataFrame, selection: DataFrame) -> DataFrame:
+    """Next-round token state (host, tokens): this round's unspent budget.
+    Left join over ALL budgeted hosts — a host that selected nothing
+    keeps (and therefore banks) its entire budget; ``token_budgets``
+    re-clamps at capacity next round. The selection side is the round's
+    politeness-cut (bounded) set; budgets is one row per ruled host, so
+    this is a tiny aggregate + tiny join, committed as the host_tokens
+    snapshot by the crawl loop."""
+    spent = selection.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("_spent"))
+    return budgets.join(spent, "host", "left").select(
+        "host",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("budget") - F.coalesce(F.col("_spent"), F.lit(0)),
+        ).alias("tokens"),
+    )
+
+
 def apply_robots_gate(selectable: DataFrame, rules: Optional[DataFrame]) -> DataFrame:
     """Drop rows blocked by their host's robots rules: RFC 9309
     longest-match precedence — the most-specific (longest raw pattern,
@@ -199,9 +288,15 @@ def select_round(
     default_budget: Optional[int] = None,
     global_budget: Optional[int] = None,
     max_host_budget: Optional[int] = None,
+    budgets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The round's fetch set: robots gate → per-host FIFO rank ≤ budget →
     global ordered cut.
+
+    ``budgets``: optional explicit (host, budget) table — e.g. the
+    carry-over ``token_budgets`` — overriding the memoryless per-round
+    derivation from ``rules``. The robots Disallow/Allow gate still
+    comes from ``rules`` either way.
 
     Shuffle pruning: a LITERAL rank cap turns the window into a
     WindowGroupLimit with a Partial stage BEFORE the exchange — each map
@@ -221,9 +316,10 @@ def select_round(
     caps = [c for c in (global_budget, max_host_budget) if c is not None]
     if caps:
         ranked = ranked.filter(F.col("_host_rank") <= F.lit(min(caps)))
-    if rules is not None:
+    if budgets is None and rules is not None:
         budgets = host_budgets(rules, round_seconds)
-        ranked = ranked.join(F.broadcast(budgets), "host", "left")
+    if budgets is not None:
+        ranked = ranked.join(F.broadcast(budgets.select("host", "budget")), "host", "left")
     else:
         ranked = ranked.withColumn("budget", F.lit(None).cast("long"))
     eff_default = default_budget if default_budget is not None else 2**62

@@ -60,6 +60,8 @@ class ReferenceSimulator:
         quota: Optional[dict[str, int]] = None,  # user_id -> api_requests
         host_scores: Optional[dict[str, float]] = None,  # host -> authority
         priority_buckets: int = 4,
+        token_carryover: bool = False,  # twin of CrawlConfig.token_carryover
+        burst_rounds: int = 4,
     ):
         self.pages = pages
         self.rows: dict[tuple[str, int, str], SimRow] = {}
@@ -76,6 +78,11 @@ class ReferenceSimulator:
         # A5 quota: remaining api_requests per user (context.py:147-150);
         # users absent from the dict are unlimited
         self.quota = dict(quota) if quota is not None else None
+        # twin of scheduler.token_budgets/spend_tokens: banked unspent
+        # grant per RULED host, clamped at capacity = refill*burst_rounds
+        self.token_carryover = token_carryover
+        self.burst_rounds = burst_rounds
+        self.tokens: dict[str, int] = {}
         for h, txt in (robots or {}).items():
             self.rules[h] = parse_robots(txt)
 
@@ -121,6 +128,21 @@ class ReferenceSimulator:
             budget = min(budget, self.max_tokens[host])
         return budget
 
+    def _token_budget(self, host: str) -> int:
+        """Twin of scheduler.token_budgets for one RULED host:
+        min(capacity, banked + refill), capacity = min(max_tokens,
+        refill * burst_rounds), refill = floor(round_seconds / delay)."""
+        from .scheduler import _TOKEN_UNCAPPED
+
+        rule = self.rules[host]
+        refill = int(self.round_seconds / rule[2]) if rule[2] else _TOKEN_UNCAPPED
+        cap = min(
+            self.max_tokens.get(host, 2**31 - 1),
+            refill * self.burst_rounds,
+            _TOKEN_UNCAPPED,
+        )
+        return min(cap, self.tokens.get(host, 0) + refill)
+
     def _disallowed(self, row: SimRow) -> bool:
         # RFC 9309 longest-match: the most-specific (longest raw pattern,
         # '*'/'$' wildcards counted) matching Disallow blocks unless an
@@ -152,10 +174,19 @@ class ReferenceSimulator:
             if r.status in ("pending", "running") and r.retries < 3 and not self._disallowed(r)
         ]
         eligible.sort(key=lambda r: (r.priority, r.job_urls_seq, r.user_id, r.job_id, r.url_id))
+        round_budgets: dict[str, int] = {}
+        if self.token_carryover:
+            # budgets snapshot BEFORE the cut (twin of token_budgets
+            # reading last round's committed state); ruled hosts only —
+            # unruled hosts stay on the memoryless default_budget
+            round_budgets = {h: self._token_budget(h) for h in self.rules}
         taken: list[SimRow] = []
         per_host: dict[str, int] = {}
         for r in eligible:
-            if per_host.get(r.host, 0) >= self._host_budget(r.host):
+            budget = round_budgets.get(r.host)
+            if budget is None:
+                budget = self._host_budget(r.host)
+            if per_host.get(r.host, 0) >= budget:
                 continue
             per_host[r.host] = per_host.get(r.host, 0) + 1
             taken.append(r)
@@ -174,6 +205,15 @@ class ReferenceSimulator:
                     per_user[r.user_id] = c + 1
                     kept.append(r)
             taken = kept
+        if self.token_carryover and taken:
+            # twin of spend_tokens: spent = the POST-quota dispatched set.
+            # An empty round banks NOTHING — the engine's run_round
+            # early-exits before the host_tokens commit when selected==0
+            spent: dict[str, int] = {}
+            for r in taken:
+                spent[r.host] = spent.get(r.host, 0) + 1
+            for h, b in round_budgets.items():
+                self.tokens[h] = max(0, b - spent.get(h, 0))
         completed = failed = missed = 0
         for r in taken:
             r.round = round_id
