@@ -420,6 +420,131 @@ order by priority, job_urls_seq, user_id, job_id, url_id limit 100
 """
 
 
+_TB_ROUNDS = 6
+_TB_BURST = 3
+
+
+def q_crawl_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry-over token-bucket politeness (scheduler.token_budgets /
+    spend_tokens / select_round(budgets=…)) over a bursty synthetic
+    frontier: host h's URLs all ARRIVE at round (h%4)+1, so late hosts
+    bank tokens while idle and burst above the per-round refill in their
+    first active round — the exact behavior the carry-over bucket exists
+    for. 6 rounds driven through the REAL scheduler functions; the
+    mirror unrolls the same integer bucket arithmetic as chained CTEs.
+    Each round's selection is cached so the six-deep lineage (pending_r
+    anti-joins every earlier selection) is planned once per round, not
+    exponentially."""
+    from xtracted_crawlers_spark import scheduler
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 89 < 3)
+    h = (F.col("o_orderkey") % 20).cast("long")
+    fr = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        ((h % 4) + 1).cast("int").alias("arrival"),
+        F.lit(0).cast("int").alias("priority"),
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 7).cast("string")).alias("user_id"),
+        (F.col("o_orderkey") % 3).cast("long").alias("job_id"),
+        F.col("o_orderkey").cast("string").alias("url_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("k")
+    fr = fr.withColumn("job_urls_seq", F.row_number().over(w).cast("long")).cache()
+    rules = (
+        fr.select(F.col("host"), (F.col("k") % 20).alias("_h"))
+        .distinct()
+        .select(
+            "host",
+            (F.lit(60.0) / (F.lit(2) + F.col("_h") % 3)).alias("crawl_delay_s"),
+            F.lit(2**31 - 1).cast("long").alias("max_tokens"),
+        )
+    )
+    budgets = scheduler.token_budgets(rules, None, round_seconds=60.0, burst_rounds=_TB_BURST)
+    selected = None
+    out = None
+    for r in range(1, _TB_ROUNDS + 1):
+        pending = fr.filter(F.col("arrival") <= r)
+        if selected is not None:
+            pending = pending.join(selected, "k", "left_anti")
+        sel = scheduler.select_round(pending, rules=None, budgets=budgets).cache()
+        tagged = sel.select("host", "k", F.lit(r).alias("round_selected"))
+        out = tagged if out is None else out.unionByName(tagged)
+        keys = sel.select("k")
+        selected = keys if selected is None else selected.unionByName(keys)
+        budgets = scheduler.token_budgets(
+            rules, scheduler.spend_tokens(budgets, sel),
+            round_seconds=60.0, burst_rounds=_TB_BURST,
+        )
+    return out.select("host", F.col("k").cast("long").alias("k"), "round_selected")
+
+
+def _sql_token_bucket() -> str:
+    """Unrolled-CTE mirror: per round r — pending (arrived, not yet
+    selected), per-host FIFO rank, cut at the bucket budget, then the
+    integer bucket update tokens = budget - spent, budget' =
+    min(capacity, tokens + refill)."""
+    parts = [
+        f"""
+with fr0 as (select o_orderkey as k,
+                    'h' || cast(o_orderkey % 20 as varchar) as host,
+                    cast((o_orderkey % 20) % 4 + 1 as int) as arrival,
+                    'u' || cast(o_orderkey % 7 as varchar) as user_id,
+                    o_orderkey % 3 as job_id,
+                    cast(o_orderkey as varchar) as url_id
+             from orders where o_orderkey % 89 < 3),
+fr as (select *, row_number() over (partition by host order by k) as job_urls_seq from fr0),
+rules as (select host, 60.0 / (2 + (min(k) % 20) % 3) as crawl_delay_s
+          from fr group by host),
+rc as (select host,
+              cast(floor(60.0 / crawl_delay_s) as bigint) as refill,
+              least(cast(floor(60.0 / crawl_delay_s) as bigint) * {_TB_BURST},
+                    cast(2147483647 as bigint)) as cap
+       from rules),
+bud_1 as (select host, least(cap, refill) as budget from rc)"""
+    ]
+    prev_sel_union = None
+    for r in range(1, _TB_ROUNDS + 1):
+        not_sel = (
+            f" and k not in (select k from {prev_sel_union})" if prev_sel_union else ""
+        )
+        parts.append(
+            f"""
+pend_{r} as (select * from fr where arrival <= {r}{not_sel}),
+rank_{r} as (select *, row_number() over (partition by host
+               order by job_urls_seq, user_id, job_id, url_id) as rk from pend_{r}),
+sel_{r} as (select rank_{r}.host, k from rank_{r} join bud_{r} using (host)
+            where rk <= budget)"""
+        )
+        if r < _TB_ROUNDS:
+            parts.append(
+                f"""
+spent_{r} as (select host, count(*) as n from sel_{r} group by 1),
+tok_{r} as (select b.host, greatest(0, b.budget - coalesce(s.n, 0)) as tokens
+            from bud_{r} b left join spent_{r} s using (host)),
+bud_{r + 1} as (select t.host, least(rc.cap, t.tokens + rc.refill) as budget
+                from tok_{r} t join rc using (host))"""
+            )
+        prev_sel_union = (
+            f"sel_{r}" if prev_sel_union is None else f"allsel_{r}"
+        )
+        if r > 1:
+            parts.append(
+                f"""
+allsel_{r} as (select k from {'sel_1' if r == 2 else f'allsel_{r - 1}'}
+               union all select k from sel_{r})"""
+            )
+    selects = [
+        f"select host, cast(k as bigint) as k, cast({r} as int) as round_selected from sel_{r}"
+        for r in range(1, _TB_ROUNDS + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nunion all\n".join(selects)
+
+
+SQL_CRAWL_TOKEN_BUCKET = _sql_token_bucket()
+
+
 def q_crawl_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -2311,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_wildcards": q_crawl_robots_wildcards,
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_priority_schedule": q_crawl_priority_schedule,
+        "crawl_token_bucket": q_crawl_token_bucket,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
         "crawl_reset_fanout": q_crawl_reset_fanout,
@@ -2378,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
         "crawl_sitemap_seeds": SQL_CRAWL_SITEMAP_SEEDS,
         "crawl_priority_schedule": SQL_CRAWL_PRIORITY_SCHEDULE,
+        "crawl_token_bucket": SQL_CRAWL_TOKEN_BUCKET,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,
         "crawl_reset_fanout": SQL_CRAWL_RESET_FANOUT,
