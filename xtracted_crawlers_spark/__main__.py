@@ -66,6 +66,16 @@ def main(argv: list[str] | None = None) -> int:
         "directives (RFC 9309) and harvest them too",
     )
     c.add_argument(
+        "--token-carryover",
+        action="store_true",
+        help="carry-over per-domain token buckets: a robots-ruled host "
+        "banks its unspent per-round grant (up to --burst-rounds x the "
+        "refill, still clamped by max_tokens) in the host_tokens table "
+        "and may burst when URLs arrive mid-crawl; with a dense "
+        "frontier the schedule is identical to the memoryless default",
+    )
+    c.add_argument("--burst-rounds", type=int, default=4)
+    c.add_argument(
         "--priority-from-links",
         action="store_true",
         help="derive host authority (link in-degree over the pages table) "
@@ -235,6 +245,8 @@ def main(argv: list[str] | None = None) -> int:
         ),
         sitemap_depth=args.sitemap_depth,
         sitemap_from_robots=args.sitemap_from_robots,
+        token_carryover=args.token_carryover,
+        burst_rounds=args.burst_rounds,
     )
     quota = spark.read.parquet(args.quota) if getattr(args, "quota", None) else None
     host_scores = None
