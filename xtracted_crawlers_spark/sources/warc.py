@@ -26,6 +26,7 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .pages import PAGES_TABLE_SCHEMA
 
@@ -110,26 +111,102 @@ def read_warc(spark: SparkSession, path: str, permissive: bool = True) -> DataFr
     return files.mapInPandas(parse, PAGES_TABLE_SCHEMA)
 
 
+def render_record(url: str, ts, payload: bytes) -> bytes:
+    """One WARC/1.0 response record, byte-deterministic: fixed header
+    order, timestamp from the row (never a local clock), HTTP envelope
+    matching what _strip_http_headers removes on read."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else "2024-01-01T00:00:00Z"
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts_s}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        "\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
 def write_warc_file(rows: list[dict], path: str, compress: bool = False) -> None:
     """Minimal WARC/1.0 writer for fixtures/round-tripping: one response
     record per {url, warc_ts, html} dict."""
     out = io.BytesIO()
     for r in rows:
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["html"]
-        ts = r.get("warc_ts")
-        ts_s = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else "2024-01-01T00:00:00Z")
-        hdr = (
-            "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
-            f"WARC-Target-URI: {r['url']}\r\n"
-            f"WARC-Date: {ts_s}\r\n"
-            f"Content-Length: {len(http)}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            "\r\n"
-        ).encode()
-        out.write(hdr + http + b"\r\n\r\n")
+        out.write(render_record(r["url"], r.get("warc_ts"), r["html"]))
     data = out.getvalue()
     if compress:
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+WARC_SINK_MANIFEST_SCHEMA = "path string, n_records long, n_bytes long"
+
+
+def warc_sink(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WARC export — the write-side twin of read_warc: each
+    partition streams its rows through the same record framing into ONE
+    ``part-<id>.warc[.gz]`` under out_dir and emits a single manifest
+    row (path, n_records, n_bytes of uncompressed record bytes). Bytes
+    never touch the driver; the returned manifest DataFrame is one row
+    per non-empty partition (collect it or write it as the export's
+    index). Record bytes are a pure function of the rows (fixed header
+    order, warc_ts from the column), so a repartition+sortWithinPartitions
+    upstream makes the whole export reproducible. At cluster scale
+    out_dir must be a shared filesystem/fuse mount; size partitions to
+    the ~1 GB segment convention with repartition before calling.
+
+    Lazy like any transformation — nothing is written until the manifest
+    is acted on; act on it EXACTLY ONCE (a re-run rewrites the same
+    deterministic files, so a retry is idempotent rather than
+    duplicating records)."""
+    import os
+
+    from pyspark import TaskContext
+
+    sel = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts") if ts_col in df.columns
+        else F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        suffix = ".warc.gz" if compress else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = 0
+        raw_bytes = 0
+        sink = None
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if sink is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    sink = gzip.open(path, "wb") if compress else open(path, "wb")
+                for url, ts, payload in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["payload"]
+                ):
+                    rec = render_record(
+                        url, None if pd.isna(ts) else ts, bytes(payload)
+                    )
+                    sink.write(rec)
+                    raw_bytes += len(rec)
+                    n += 1
+        finally:
+            if sink is not None:
+                sink.close()
+        if n:
+            yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [raw_bytes]})
+
+    return sel.mapInPandas(write, WARC_SINK_MANIFEST_SCHEMA)
