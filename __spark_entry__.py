@@ -934,6 +934,55 @@ select query_id, doc_id, cast(rank as bigint) as rank, score from r where rank <
 """
 
 
+def q_url_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT url keys (urlnorm.surt_key — the CDX 'urlkey' the WARC sink's
+    index sorts by) over deterministically varied URLs: mixed case,
+    www-prefixes, ports, empty paths, query-only URLs. Per-row JVM
+    expression chain, zero shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 3)
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.when(k % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Shop"),
+        F.lpad((k % 50).cast("string"), 5, "0"),
+        F.lit(".Example.Test"),
+        F.when(k % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/DP/item"), k.cast("string"))
+        ),
+        F.when(k % 2 == 0, F.concat(F.lit("?Q="), (k % 9).cast("string"), F.lit("&b=2"))).otherwise(F.lit("")),
+    )
+    d = o.select(k.alias("k"), url.alias("url"))
+    return d.select("k", "url", urlnorm.surt_key(F.col("url")).alias("urlkey"))
+
+
+SQL_URL_SURT = f"""
+with u0 as (select o_orderkey as k,
+    (case when o_orderkey % 7 = 0 then 'HTTP' else 'https' end)
+    || '://'
+    || (case when o_orderkey % 3 = 0 then 'www.' else '' end)
+    || 'Shop' || lpad(cast(o_orderkey % 50 as varchar), 5, '0') || '.Example.Test'
+    || (case when o_orderkey % 4 = 0 then ':8080' else '' end)
+    || (case when o_orderkey % 5 = 0 then '' else '/DP/item' || cast(o_orderkey as varchar) end)
+    || (case when o_orderkey % 2 = 0 then '?Q=' || cast(o_orderkey % 9 as varchar) || '&b=2' else '' end)
+    as url
+  from orders where o_orderkey % 10 = 3),
+n as (select k, url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as netloc from u0),
+parts as (select k, url,
+    split_part(netloc, ':', 1) as hostonly,
+    case when contains(netloc, ':')
+         then ':' || regexp_extract(netloc, ':([^:]*)$', 1) else '' end as port,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)) as pq0
+  from n)
+select k, url,
+       array_to_string(list_reverse(string_split(regexp_replace(hostonly, '^www\\.', ''), '.')), ',')
+       || port || ')' || (case when pq0 = '' then '/' else pq0 end) as urlkey
+from parts
+"""
+
+
 def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style URL-quality gate (operators/urlquality.py)
     over three deterministic URL shapes synthesized from lineitem keys:
@@ -2461,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "search_bm25": q_search_bm25,
         "url_quality": q_url_quality,
+        "url_surt": q_url_surt,
         "text_html_to_text": q_text_html_to_text,
         "corpus_vocab": q_corpus_vocab,
         "host_quality_rollup": q_host_quality_rollup,
@@ -2528,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": SQL_TEXT_LINE_DEDUP,
         "search_bm25": SQL_SEARCH_BM25,
         "url_quality": SQL_URL_QUALITY,
+        "url_surt": SQL_URL_SURT,
         "text_html_to_text": SQL_TEXT_HTML_TO_TEXT,
         "corpus_vocab": SQL_CORPUS_VOCAB,
         "host_quality_rollup": SQL_HOST_QUALITY_ROLLUP,

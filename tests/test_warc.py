@@ -178,3 +178,73 @@ def test_warc_sink_empty_and_uncompressed(spark, tmp_path):
     # uncompressed: manifest n_bytes == the file's actual size
     assert os.path.getsize(manifest[0]["path"]) == manifest[0]["n_bytes"]
     assert read_warc(spark, out1).count() == 6
+
+
+def test_warc_cdx_index_and_point_reads(spark, tmp_path):
+    """One-pass dump+index: every CDX offset slices to exactly its
+    record, and feeding a subset of the index back through
+    read_warc_records returns precisely those pages byte-identically."""
+    import gzip as _gz
+
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.sources.warc import (
+        parse_warc_stream,
+        read_warc_records,
+        warc_sink_cdx,
+    )
+
+    pages = fixtures.gen_pages(spark, 60, n_hosts=4).repartition(3, "url")
+    out = str(tmp_path / "dump")
+    cdx = warc_sink_cdx(pages, out, compress=True).cache()
+    assert cdx.count() == 60
+    assert cdx.select("urlkey").distinct().count() == 60
+
+    # offsets are slice-exact against the decompressed part stream
+    one = cdx.orderBy("urlkey").limit(5).collect()
+    by_path: dict = {}
+    for r in one:
+        if r["path"] not in by_path:
+            by_path[r["path"]] = _gz.decompress(open(r["path"], "rb").read())
+        raw = by_path[r["path"]]
+        recs = list(parse_warc_stream(raw[r["warc_offset"]: r["warc_offset"] + r["warc_length"]]))
+        assert len(recs) == 1 and recs[0]["url"] == r["url"]
+
+    # point reads of an arbitrary subset
+    want = cdx.filter(F.col("urlkey").contains("/dp/b00000000"))
+    n_want = want.count()
+    assert 0 < n_want < 60
+    got = read_warc_records(spark, want)
+    assert got.count() == n_want
+    j = (
+        pages.select("url", F.col("html").alias("orig"))
+        .join(got.select("url", F.col("html").alias("back")), "url")
+    )
+    assert j.count() == n_want
+    assert j.filter(F.col("orig") != F.col("back")).count() == 0
+    cdx.unpersist()
+
+
+def test_surt_key_jvm_matches_python_twin(spark):
+    from xtracted_crawlers_spark import urlnorm
+
+    urls = [
+        "https://www.example.com/dp/B012345678",
+        "http://Example.COM:8080/Path/To?Q=UPPER&b=2",
+        "https://a.b.c.example.org/",
+        "https://example.com",
+        "https://www.example.com?onlyquery=1",
+        "http://shop00001.example.test/dp/B000000001?v=2#frag",
+        "https://WWW.UPPER.NET/X",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["k"]
+        for r in df.select("url", urlnorm.surt_key("url").alias("k")).collect()
+    }
+    for u in urls:
+        assert got[u] == urlnorm.py_surt_key(u), u
+    # domain-contiguity: all example.com URLs sort together under SURT
+    keys = sorted(got.values())
+    com = [k for k in keys if k.startswith("com,example")]
+    i = keys.index(com[0])
+    assert keys[i: i + len(com)] == com

@@ -210,3 +210,115 @@ def warc_sink(
             yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [raw_bytes]})
 
     return sel.mapInPandas(write, WARC_SINK_MANIFEST_SCHEMA)
+
+
+CDX_SCHEMA = (
+    "urlkey string, url string, warc_ts timestamp, path string, "
+    "warc_offset long, warc_length long"
+)
+
+
+def warc_sink_cdx(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    compress: bool = True,
+) -> DataFrame:
+    """warc_sink + a CDX-style index in one pass: writes the same
+    part-<id>.warc[.gz] files and returns one row PER RECORD —
+    (urlkey, url, warc_ts, path, warc_offset, warc_length) — instead of
+    the per-file manifest. urlkey is the SURT sort key (urlnorm.surt_key,
+    JVM-side before the sink), offsets index the UNCOMPRESSED record
+    stream of the part (whole-file gzip: one streaming decompress, then
+    every offset is a seek — the Common-Crawl access pattern). Sorting
+    the returned index by urlkey IS the CDX; feed any subset back to
+    read_warc_records for splittable point reads without rescanning the
+    dump."""
+    import os
+
+    from pyspark import TaskContext
+
+    from .. import urlnorm
+
+    sel = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts") if ts_col in df.columns
+        else F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col(payload_col).alias("payload"),
+        urlnorm.surt_key(F.col(url_col)).alias("urlkey"),
+    )
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        suffix = ".warc.gz" if compress else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        offset = 0
+        sink = None
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if sink is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    sink = gzip.open(path, "wb") if compress else open(path, "wb")
+                rows = []
+                for url, ts, payload, urlkey in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["payload"], pdf["urlkey"]
+                ):
+                    ts = None if pd.isna(ts) else ts
+                    rec = render_record(url, ts, bytes(payload))
+                    sink.write(rec)
+                    rows.append((urlkey, url, ts, path, offset, len(rec)))
+                    offset += len(rec)
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "urlkey", "url", "warc_ts", "path",
+                        "warc_offset", "warc_length",
+                    ],
+                )
+        finally:
+            if sink is not None:
+                sink.close()
+
+    return sel.mapInPandas(write, CDX_SCHEMA)
+
+
+def read_warc_records(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Splittable point reads off a CDX index: repartition the requested
+    index rows by part file, open each file ONCE per task (gzip: one
+    streaming decompress), slice each record at
+    [warc_offset, warc_offset+warc_length) and parse exactly those
+    records — no rescan of the dump, bytes never touch the driver.
+    Returns the pages table shape. This is the 'pair the dump with its
+    CDX index and push url/offset filters into the index scan' path the
+    read_warc docstring points at for petabyte-scale access."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache_path: Optional[str] = None
+        cache_raw: bytes = b""
+        for pdf in batches:
+            rows = []
+            for path, off, length in zip(
+                pdf["path"], pdf["warc_offset"], pdf["warc_length"]
+            ):
+                if path != cache_path:
+                    with open(path, "rb") as f:
+                        cache_raw = f.read()
+                    if cache_raw[:2] == b"\x1f\x8b":
+                        cache_raw = gzip.decompress(cache_raw)
+                    cache_path = path
+                for r in parse_warc_stream(cache_raw[off : off + length]):
+                    rows.append((r["url"], r["warc_ts"], r["html"], None, None))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
+
+    part = cdx.select("path", "warc_offset", "warc_length").repartition("path")
+    # read offsets in file order so a (future) seek-based reader streams
+    # forward; with the in-memory slice it just keeps output deterministic
+    part = part.sortWithinPartitions("path", "warc_offset")
+    return part.mapInPandas(fetch, PAGES_TABLE_SCHEMA)

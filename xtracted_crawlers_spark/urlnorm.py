@@ -74,6 +74,33 @@ def root_url(url: Column | str) -> Column:
     ).otherwise(F.lit(None))
 
 
+# path+query (fragment excluded): everything between the authority and
+# '#'. Shared by the JVM surt_key and its DuckDB oracle mirror.
+PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT-canonical sort key (the Common-Crawl/OpenWayback CDX 'urlkey'
+    convention, documented subset): lowercased, scheme dropped, host
+    labels reversed and comma-joined with a leading 'www.' stripped,
+    port kept after the reversed host, then ')' + path?query ('' → '/').
+    com,example)/dp/b0xy?v=2 sorts all of a domain's URLs — and all of
+    its subdomains' — contiguously, which is what makes a sorted CDX
+    index range-scannable per domain. Pure JVM exprs; py_surt_key is the
+    fuzz-tested twin."""
+    n = F.lower(netloc(url))
+    hostonly = F.substring_index(n, ":", 1)
+    port = F.when(
+        n.contains(":"), F.concat(F.lit(":"), F.substring_index(n, ":", -1))
+    ).otherwise(F.lit(""))
+    rev = F.array_join(
+        F.reverse(F.split(F.regexp_replace(hostonly, r"^www\.", ""), r"\.")), ","
+    )
+    pq = F.lower(F.regexp_extract(url, PATHQ_RE, 1))
+    pq = F.when(pq == "", F.lit("/")).otherwise(pq)
+    return F.concat(rev, port, F.lit(")"), pq)
+
+
 def seen_key(user_id: Column | str, job_id: Column | str, uid: Column | str) -> Column:
     """64-bit hashed dedup key over the composite identity
     (user_id, job_id, url_id) — the bloom/seen-set key (north_rule:
@@ -107,6 +134,19 @@ def py_url_type(url: str) -> Optional[str]:
 
 def py_host(url: str) -> str:
     return urlparse(url).netloc.lower()
+
+
+def py_surt_key(url: str) -> str:
+    """Twin of surt_key (tests/fuzz only)."""
+    p = urlparse(url)
+    n = p.netloc.lower()
+    hostonly, _, port = n.partition(":")
+    if hostonly.startswith("www."):
+        hostonly = hostonly[4:]
+    rev = ",".join(reversed(hostonly.split(".")))
+    path = p.path + (";" + p.params if p.params else "")
+    pq = (path + ("?" + p.query if p.query else "")).lower() or "/"
+    return f"{rev}{':' + port if port else ''}){pq}"
 
 
 # Fast path for py_root_url: plain `scheme://netloc...` URLs, which is
