@@ -1174,6 +1174,69 @@ from g
 """
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing (operators/sampling.weighted_mix):
+    keep src1 fully, src2 at ~60%, src3 at ~25%, drop everything else —
+    the 'training mix' step, reproducible because membership is a hash
+    of doc_id, not a rand() draw. Map-only."""
+    from xtracted_crawlers_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.weighted_mix(
+        d, {"src1": 1.0, "src2": 0.6, "src3": 0.25}, group_col="source", key_col="doc_id"
+    )
+    return kept.select("doc_id", "source")
+
+
+def _sql_corpus_mix() -> str:
+    from xtracted_crawlers_spark.operators import sampling
+
+    slot = sampling.sql_hash_slot("doc_id", "mix")
+    t1 = sampling.hex_threshold(1.0)
+    t2 = sampling.hex_threshold(0.6)
+    t3 = sampling.hex_threshold(0.25)
+    return f"""
+select doc_id, source from documents
+where {slot} < (case source when 'src1' then '{t1}'
+                            when 'src2' then '{t2}'
+                            when 'src3' then '{t3}'
+                            else '' end)
+"""
+
+
+SQL_CORPUS_MIX = _sql_corpus_mix()
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators/sampling.train_val_test_split): one hash draw, cumulative
+    thresholds — disjoint, exhaustive, and stable under corpus growth."""
+    from xtracted_crawlers_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(d, fracs=(0.8, 0.1)).select(
+        "doc_id", "source", "split"
+    )
+
+
+def _sql_corpus_split() -> str:
+    from xtracted_crawlers_spark.operators import sampling
+
+    slot = sampling.sql_hash_slot("doc_id", "split")
+    t_train = sampling.hex_threshold(0.8)
+    t_val = sampling.hex_threshold(0.9)
+    return f"""
+select doc_id, source,
+       case when {slot} < '{t_train}' then 'train'
+            when {slot} < '{t_val}' then 'val'
+            else 'test' end as split
+from documents
+"""
+
+
+SQL_CORPUS_SPLIT = _sql_corpus_split()
+
+
 def _repetition_fixture_col() -> F.Column:
     """Line-structured fixture text, derivable identically in DuckDB: the
     corpus docs carry no newlines, so ' merge ' occurrences become line
@@ -2514,6 +2577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_to_text": q_text_html_to_text,
         "corpus_vocab": q_corpus_vocab,
         "host_quality_rollup": q_host_quality_rollup,
+        "corpus_mix": q_corpus_mix,
+        "corpus_split": q_corpus_split,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2582,6 +2647,8 @@ def oracle_sql() -> dict[str, str]:
         "text_html_to_text": SQL_TEXT_HTML_TO_TEXT,
         "corpus_vocab": SQL_CORPUS_VOCAB,
         "host_quality_rollup": SQL_HOST_QUALITY_ROLLUP,
+        "corpus_mix": SQL_CORPUS_MIX,
+        "corpus_split": SQL_CORPUS_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
