@@ -1174,6 +1174,46 @@ from g
 """
 
 
+def q_text_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate (operators/lmscore): self-trained
+    proper unigram LM → mean token log-prob per doc (exact_fold: the
+    per-doc sum is a deterministic left fold in term order, the
+    bm25/ANN-proven bit-exact technique) → exact head/middle/tail
+    terciles by (score desc, doc_id) rank."""
+    from xtracted_crawlers_spark.operators import lmscore
+
+    d = _t(spark, sf_dir, "documents")
+    scored = lmscore.doc_lm_scores(d, exact_fold=True)
+    return lmscore.perplexity_buckets_exact(scored).select(
+        "doc_id", F.col("dl").cast("long").alias("dl"), "score", "bucket"
+    )
+
+
+SQL_TEXT_LM_BUCKET = """
+with d as (select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') as toks
+           from documents),
+p0 as (select doc_id, cast(len(toks) as bigint) as dl, unnest(toks) as term from d),
+p as (select doc_id, dl, term, count(*) as tf from p0 group by 1, 2, 3),
+lm0 as (select term, cast(sum(tf) as double) as ctf from p group by 1),
+tot as (select sum(ctf) as n, cast(count(*) as double) as v from lm0),
+lm as (select term, ln((ctf + 1.0) / (tot.n + tot.v + 1.0)) as logp from lm0 cross join tot),
+s as (select p.doc_id, p.dl, p.term, cast(p.tf as double) * lm.logp as contrib
+      from p join lm using (term)),
+g as (select doc_id, dl,
+        round(list_dot_product(list(contrib order by term), list(1.0 order by term))
+              / cast(dl as double), 4) as score
+      from s group by 1, 2),
+r as (select *, row_number() over (order by score desc, doc_id asc) as rn,
+         count(*) over () as n from g)
+select doc_id, dl, score,
+       case when rn * 3 <= n then 'head'
+            when rn * 3 <= n * 2 then 'middle'
+            else 'tail' end as bucket
+from r
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source mixing (operators/sampling.weighted_mix):
     keep src1 fully, src2 at ~60%, src3 at ~25%, drop everything else —
@@ -2579,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_rollup": q_host_quality_rollup,
         "corpus_mix": q_corpus_mix,
         "corpus_split": q_corpus_split,
+        "text_lm_bucket": q_text_lm_bucket,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2649,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quality_rollup": SQL_HOST_QUALITY_ROLLUP,
         "corpus_mix": SQL_CORPUS_MIX,
         "corpus_split": SQL_CORPUS_SPLIT,
+        "text_lm_bucket": SQL_TEXT_LM_BUCKET,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
