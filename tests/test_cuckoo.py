@@ -1,0 +1,83 @@
+"""Partitioned cuckoo filter: no false negatives (the safety contract),
+bounded false-positive rate, deletion (the capability bloom lacks),
+incremental merge, and the sliding-window seen-set composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark import cuckoo
+
+N_BUCKETS = 8
+
+
+def _keys(spark, lo, hi, job=1):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("user_id"),
+            F.lit(job).cast("long").alias("job_id"),
+            F.concat(F.lit("B0"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("url_id"),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def filt(spark):
+    return cuckoo.build_cuckoo(
+        _keys(spark, 0, 5000), n_buckets=N_BUCKETS, expected_per_bucket=1500
+    ).cache()
+
+
+def test_no_false_negatives(spark, filt):
+    probed = cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 5000), filt, N_BUCKETS)
+    assert probed.count() == 5000
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_false_positive_rate_bounded(spark, filt):
+    fresh = cuckoo.cuckoo_maybe_seen(_keys(spark, 100_000, 120_000), filt, N_BUCKETS)
+    fp = fresh.filter(F.col("maybe_seen")).count()
+    # 16-bit fingerprints, 2 buckets x 4 slots: fpr ~ 8/65535 ~ 0.012%
+    assert fp / 20_000 < 0.005, fp
+
+
+def test_merge_then_probe(spark, filt):
+    merged = cuckoo.merge_cuckoo(filt, _keys(spark, 5000, 6000), N_BUCKETS)
+    probed = cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 6000), merged, N_BUCKETS)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_delete_retires_exactly_the_window(spark, filt):
+    """The sliding-window path: retire keys 0..2000, keep 2000..5000 —
+    deleted keys (minus fingerprint collisions) probe fresh again,
+    retained keys still always hit."""
+    smaller = cuckoo.delete_cuckoo(filt, _keys(spark, 0, 2000), N_BUCKETS).cache()
+    kept = cuckoo.cuckoo_maybe_seen(_keys(spark, 2000, 5000), smaller, N_BUCKETS)
+    assert kept.filter(~F.col("maybe_seen")).count() == 0  # never a false negative
+    retired = cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 2000), smaller, N_BUCKETS)
+    still = retired.filter(F.col("maybe_seen")).count()
+    # residual hits are only fingerprint collisions with retained keys
+    assert still / 2000 < 0.005, still
+    smaller.unpersist()
+
+
+def test_filter_is_compact(spark, filt):
+    rows = filt.collect()
+    assert len(rows) == N_BUCKETS
+    total = sum(len(r["table"]) for r in rows)
+    # 5000 keys in ~2 bytes/slot tables: well under 100 KB total
+    assert total < 100_000, total
+
+
+def test_prunes_exact_antijoin_like_bloom(spark, filt):
+    """Composition check: filter says 'definitely new' for most fresh
+    candidates, so the exact anti-join's probe side shrinks to ~the
+    true duplicates — same contract seen.dedup_new_urls relies on."""
+    cand = _keys(spark, 4000, 7000)  # 1000 dupes + 2000 fresh
+    probed = cuckoo.cuckoo_maybe_seen(cand, filt, N_BUCKETS)
+    maybe = probed.filter(F.col("maybe_seen"))
+    n_maybe = maybe.count()
+    assert 1000 <= n_maybe < 1000 + 20  # dupes + at most a few collisions
+    existing = _keys(spark, 0, 5000)
+    truly_new = probed.join(existing, ["user_id", "job_id", "url_id"], "left_anti")
+    assert truly_new.count() == 2000
