@@ -1214,6 +1214,52 @@ from r
 """
 
 
+def q_sketch_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch): 3x4096 CMS over
+    the corpus token stream, point estimates for every distinct term,
+    keep est >= 200. Deterministic md5-nibble hashing — the DuckDB
+    mirror rebuilds the same cells (conv(hex,16,10) engine-side ==
+    strpos nibble arithmetic oracle-side) and the one-sided estimates
+    match exactly."""
+    from xtracted_crawlers_spark.operators import search, sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(search.tokens(F.col("text"))).alias("term"))
+    cms = sketch.cms_build(toks, d=3, w_hex=3)
+    return sketch.cms_heavy_hitters(
+        cms, toks.select("term").distinct(), 200, d=3, w_hex=3
+    )
+
+
+def _sql_cms_col(i: int) -> str:
+    h = f"md5(term || 'cms{i}')"
+    nib = "strpos('0123456789abcdef', substr({h}, {j}, 1)) - 1"
+    return " + ".join(
+        f"({nib.format(h=h, j=j + 1)}) * {16 ** (2 - j)}" for j in range(3)
+    )
+
+
+SQL_SKETCH_HEAVY_TERMS = f"""
+with dd as (select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') as toks
+            from documents),
+p0 as (select unnest(toks) as term from dd),
+cells as (
+  select row, col, count(*) as cnt from (
+    select 0 as row, {_sql_cms_col(0)} as col from p0
+    union all select 1 as row, {_sql_cms_col(1)} as col from p0
+    union all select 2 as row, {_sql_cms_col(2)} as col from p0
+  ) group by 1, 2),
+probes as (select distinct term from p0),
+pc as (
+  select term, 0 as row, {_sql_cms_col(0)} as col from probes
+  union all select term, 1 as row, {_sql_cms_col(1)} as col from probes
+  union all select term, 2 as row, {_sql_cms_col(2)} as col from probes),
+est as (select term, cast(min(coalesce(cnt, 0)) as bigint) as est
+        from pc left join cells using (row, col) group by term)
+select term, est from est where est >= 200
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source mixing (operators/sampling.weighted_mix):
     keep src1 fully, src2 at ~60%, src3 at ~25%, drop everything else —
@@ -2620,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "corpus_split": q_corpus_split,
         "text_lm_bucket": q_text_lm_bucket,
+        "sketch_heavy_terms": q_sketch_heavy_terms,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2691,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": SQL_CORPUS_MIX,
         "corpus_split": SQL_CORPUS_SPLIT,
         "text_lm_bucket": SQL_TEXT_LM_BUCKET,
+        "sketch_heavy_terms": SQL_SKETCH_HEAVY_TERMS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
