@@ -1214,6 +1214,77 @@ from r
 """
 
 
+def q_pipeline_corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-shaped prep pipeline as ONE lineage: exact dedup
+    (canonical doc per content fingerprint) → self-trained unigram LM →
+    mean-logprob scoring (bit-exact fold) → exact perplexity terciles →
+    drop 'tail' → deterministic 70% sample → train/val/test stamp.
+    Every stage is an already-oracled operator; this query certifies the
+    COMPOSITION (thresholds and the LM are computed on the post-dedup
+    corpus, so stage order is load-bearing)."""
+    from xtracted_crawlers_spark.operators import dedup, lmscore, sampling
+
+    d = _t(spark, sf_dir, "documents")
+    canon = dedup.exact_duplicates(d).select(F.col("canonical_id").alias("doc_id"))
+    kept = d.join(canon, "doc_id")
+    scored = lmscore.doc_lm_scores(kept, exact_fold=True)
+    bucketed = lmscore.perplexity_buckets_exact(scored).filter(F.col("bucket") != "tail")
+    sampled = sampling.sample_fraction(bucketed, 0.7, key_col="doc_id", salt="lmprep")
+    return sampled.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        "score",
+        "bucket",
+        sampling.split_assign("doc_id", (0.8, 0.1)).alias("split"),
+    )
+
+
+def _sql_pipeline_corpus_lm() -> str:
+    from xtracted_crawlers_spark.operators import sampling
+
+    slot = sampling.sql_hash_slot("doc_id", "lmprep")
+    t_keep = sampling.hex_threshold(0.7)
+    sslot = sampling.sql_hash_slot("doc_id", "split")
+    t_train = sampling.hex_threshold(0.8)
+    t_val = sampling.hex_threshold(0.9)
+    return f"""
+with canon as (select min(doc_id) as doc_id
+               from documents
+               group by md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+docs2 as (select d.doc_id, d.text from documents d join canon using (doc_id)),
+dd as (select doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') as toks
+       from docs2),
+p0 as (select doc_id, cast(len(toks) as bigint) as dl, unnest(toks) as term from dd),
+p as (select doc_id, dl, term, count(*) as tf from p0 group by 1, 2, 3),
+lm0 as (select term, cast(sum(tf) as double) as ctf from p group by 1),
+tot as (select sum(ctf) as n, cast(count(*) as double) as v from lm0),
+lm as (select term, ln((ctf + 1.0) / (tot.n + tot.v + 1.0)) as logp from lm0 cross join tot),
+s as (select p.doc_id, p.dl, p.term, cast(p.tf as double) * lm.logp as contrib
+      from p join lm using (term)),
+g as (select doc_id, dl,
+        round(list_dot_product(list(contrib order by term), list(1.0 order by term))
+              / cast(dl as double), 4) as score
+      from s group by 1, 2),
+r as (select *, row_number() over (order by score desc, doc_id asc) as rn,
+         count(*) over () as n from g),
+b as (select doc_id, dl, score,
+        case when rn * 3 <= n then 'head'
+             when rn * 3 <= n * 2 then 'middle'
+             else 'tail' end as bucket
+      from r),
+kept as (select * from b where bucket <> 'tail' and {slot} < '{t_keep}')
+select doc_id, dl, score, bucket,
+       case when {sslot} < '{t_train}' then 'train'
+            when {sslot} < '{t_val}' then 'val'
+            else 'test' end as split
+from kept
+"""
+
+
+SQL_PIPELINE_CORPUS_LM = _sql_pipeline_corpus_lm()
+
+
 def q_sketch_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters (operators/sketch): 3x4096 CMS over
     the corpus token stream, point estimates for every distinct term,
@@ -2667,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "text_lm_bucket": q_text_lm_bucket,
         "sketch_heavy_terms": q_sketch_heavy_terms,
+        "pipeline_corpus_lm": q_pipeline_corpus_lm,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2739,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": SQL_CORPUS_SPLIT,
         "text_lm_bucket": SQL_TEXT_LM_BUCKET,
         "sketch_heavy_terms": SQL_SKETCH_HEAVY_TERMS,
+        "pipeline_corpus_lm": SQL_PIPELINE_CORPUS_LM,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
