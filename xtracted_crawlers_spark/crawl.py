@@ -308,6 +308,24 @@ def run_round(
             m["quota_excluded"] = int(n_quota_excluded)
         return m
 
+    # --- token-bucket state: budget - spent, spent = the post-quota
+    # selection about to be dispatched (sel is cached+counted, so this
+    # is a tiny aggregate joined to the one-row-per-host budgets table).
+    # Debited BEFORE the frontier commit on purpose: if the process dies
+    # between the two commits, the resumed round re-selects and debits
+    # AGAIN for fetches the dead attempt never recorded — wasted tokens,
+    # i.e. UNDER-crawling. The other order would over-grant after a
+    # crash (frontier recorded fetches whose debit was lost) and let a
+    # resumed crawl exceed the long-run polite rate — the one invariant
+    # this feature exists to hold. -------------------------------------
+    if token_budgets_df is not None:
+        catalog.commit(
+            scheduler.spend_tokens(token_budgets_df, sel).coalesce(1),
+            HOST_TOKENS_TABLE,
+            round_id=round_id,
+            metrics={"event": "host_tokens", "round": round_id},
+        )
+
     # --- fetch: pages ⋈ selected (broadcast iff counted small enough);
     # misses recovered via anti-join vs hit keys. The round metrics ride
     # the extraction as an Observation: they are computed by whichever
@@ -451,18 +469,6 @@ def run_round(
             round_id=round_id, metrics=metrics, metrics_cb=_observed_metrics,
         )
     metrics.update(_observed_metrics())
-
-    # --- token-bucket state: budget - spent, spent = the post-quota
-    # selection actually dispatched (sel is cached, so this is a tiny
-    # aggregate over materialized rows joined to the one-row-per-host
-    # budgets table; full rewrite — the table is host-bounded) ---------
-    if token_budgets_df is not None:
-        catalog.commit(
-            scheduler.spend_tokens(token_budgets_df, sel).coalesce(1),
-            HOST_TOKENS_TABLE,
-            round_id=round_id,
-            metrics={"event": "host_tokens", "round": round_id},
-        )
 
     # --- bookkeeping tables (quota, jobs) -----------------------------------
     # derived from the JUST-COMMITTED snapshot (a tiny delta-file read),

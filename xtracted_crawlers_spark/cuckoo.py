@@ -24,8 +24,13 @@ Better Than Bloom", CoNEXT'14). Insert kicks like the paper (bounded
 relocations, sequential per partition — a BUILD cost); probes and
 deletes are membership checks over two buckets.
 
-Persistence: (bucket, table, n_slots, slots) commits through the
-snapshot catalog like the bloom table.
+Kick-exhausted fingerprints (the displaced victim of a failed chain —
+NOT necessarily the new key) go to a per-partition STASH that probes
+and deletes consult alongside the table, so an over-full filter
+degrades in size and FPR but never produces a false negative.
+
+Persistence: (bucket, table, stash, n_slots, slots) commits through
+the snapshot catalog like the bloom table.
 """
 
 from __future__ import annotations
@@ -37,8 +42,7 @@ from pyspark.sql import functions as F
 
 from .seen import with_bloom_keys
 
-CUCKOO_SCHEMA = "bucket int, table binary, n_slots long, slots int"
-_EMPTY_STATE = pd.DataFrame({"bucket": [], "table": [], "n_slots": [], "slots": []})
+CUCKOO_SCHEMA = "bucket int, table binary, stash binary, n_slots long, slots int"
 _MAX_KICKS = 500
 
 
@@ -60,13 +64,16 @@ def _table_size(expected: int, slots: int, load: float) -> int:
     return p
 
 
-def _insert_all(tab: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
-    """Sequential cuckoo insert with kick-out. Returns #dropped (table
-    over capacity — callers size for load<=0.84 so this stays 0; a drop
-    only ever costs exact-join work, never correctness)."""
+def _insert_all(tab: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> list[int]:
+    """Sequential cuckoo insert with kick-out. Returns the fingerprints
+    that could NOT be placed after _MAX_KICKS relocations (table over
+    capacity). Note the homeless fingerprint after a kick chain is a
+    displaced VICTIM, not necessarily the new key — it must go to the
+    caller's stash, never be dropped, or an already-inserted key would
+    probe 'definitely new' and break the no-false-negatives contract."""
     n_slots, slots = tab.shape
     rng_state = np.uint64(0x9E3779B97F4A7C15)
-    dropped = 0
+    homeless: list[int] = []
     fps = _fp(h2)
     i1s = h1.astype(np.uint64) % np.uint64(n_slots)
     for j in range(len(fps)):
@@ -87,8 +94,30 @@ def _insert_all(tab: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
             fp, row[v] = row[v], fp
             i = _alt(np.uint64(i), np.uint16(fp), n_slots)
         if not placed:
-            dropped += 1
-    return dropped
+            homeless.append(int(fp))
+    return homeless
+
+
+def _read_state(state: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, int, int]:
+    n_slots = int(state["n_slots"].iloc[0])
+    slots = int(state["slots"].iloc[0])
+    tab = np.frombuffer(state["table"].iloc[0], dtype=np.uint16).reshape(
+        n_slots, slots
+    ).copy()
+    stash = np.frombuffer(state["stash"].iloc[0], dtype=np.uint16).copy()
+    return tab, stash, n_slots, slots
+
+
+def _state_row(bucket: int, tab: np.ndarray, stash: np.ndarray, n_slots: int, slots: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bucket": [bucket],
+            "table": [tab.tobytes()],
+            "stash": [stash.astype(np.uint16).tobytes()],
+            "n_slots": [n_slots],
+            "slots": [slots],
+        }
+    )
 
 
 def build_cuckoo(
@@ -98,50 +127,58 @@ def build_cuckoo(
     slots: int = 4,
     load: float = 0.84,
 ) -> DataFrame:
-    """keys (user_id, job_id, url_id) → one cuckoo table per partition."""
+    """keys (user_id, job_id, url_id) → one cuckoo table per partition,
+    for EVERY one of the n_buckets partitions (cogroup against the full
+    bucket range) — merge_cuckoo and delete_cuckoo rely on every bucket
+    having state, otherwise keys hashing to an absent bucket would be
+    silently lost and later probe as false negatives. Kick-exhausted
+    fingerprints land in the per-partition stash (probed alongside the
+    table), so overfilling degrades FPR/size, never correctness."""
     n_slots = _table_size(expected_per_bucket, slots, load)
     hashed = with_bloom_keys(keys, n_buckets).select("bloom_bucket", "h1", "h2")
+    ids = keys.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bloom_bucket")
+    )
 
-    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+    def make(key, _ids: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         tab = np.zeros((n_slots, slots), dtype=np.uint16)
-        _insert_all(tab, pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bloom_bucket"].iloc[0])],
-                "table": [tab.tobytes()],
-                "n_slots": [n_slots],
-                "slots": [slots],
-            }
+        homeless: list[int] = []
+        if len(pdf):
+            homeless = _insert_all(tab, pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        return _state_row(
+            int(key[0]), tab, np.array(homeless, dtype=np.uint16), n_slots, slots
         )
 
-    return hashed.groupBy("bloom_bucket").applyInPandas(make, CUCKOO_SCHEMA)
+    return (
+        ids.groupBy("bloom_bucket")
+        .cogroup(hashed.groupBy("bloom_bucket"))
+        .applyInPandas(make, CUCKOO_SCHEMA)
+    )
 
 
 def merge_cuckoo(cuckoo: DataFrame, new_keys: DataFrame, n_buckets: int = 64) -> DataFrame:
-    """Insert new keys into the touched partitions only (cogroup join);
-    untouched partitions pass through byte-identical."""
+    """Insert new keys into the touched partitions (cogroup join);
+    untouched partitions pass through byte-identical. Kick-exhausted
+    fingerprints (new keys OR displaced victims) append to the stash —
+    repeated merges past the sized load degrade lookup cost and FPR,
+    never the no-false-negatives contract."""
     hashed = with_bloom_keys(new_keys, n_buckets).select("bloom_bucket", "h1", "h2")
 
     def fold(key, state: pd.DataFrame, add: pd.DataFrame) -> pd.DataFrame:
         if len(state) == 0:
-            # no table for this partition — build_cuckoo creates every
-            # touched partition, so this only means an empty cogroup side
-            return _EMPTY_STATE.copy()
-        n_slots = int(state["n_slots"].iloc[0])
-        slots = int(state["slots"].iloc[0])
-        tab = np.frombuffer(state["table"].iloc[0], dtype=np.uint16).reshape(
-            n_slots, slots
-        ).copy()
+            # build_cuckoo materializes ALL buckets, so this can only be
+            # an n_buckets mismatch between build and merge — data loss
+            # if ignored; fail the job instead
+            raise ValueError(
+                f"cuckoo merge: no state for bucket {int(key[0])} "
+                "(n_buckets differs from build_cuckoo?)"
+            )
+        tab, stash, n_slots, slots = _read_state(state)
         if len(add):
-            _insert_all(tab, add["h1"].to_numpy(), add["h2"].to_numpy())
-        return pd.DataFrame(
-            {
-                "bucket": [int(key[0])],
-                "table": [tab.tobytes()],
-                "n_slots": [n_slots],
-                "slots": [slots],
-            }
-        )
+            homeless = _insert_all(tab, add["h1"].to_numpy(), add["h2"].to_numpy())
+            if homeless:
+                stash = np.concatenate([stash, np.array(homeless, dtype=np.uint16)])
+        return _state_row(int(key[0]), tab, stash, n_slots, slots)
 
     return (
         cuckoo.groupBy(F.col("bucket"))
@@ -161,31 +198,29 @@ def delete_cuckoo(cuckoo: DataFrame, keys: DataFrame, n_buckets: int = 64) -> Da
 
     def fold(key, state: pd.DataFrame, rm: pd.DataFrame) -> pd.DataFrame:
         if len(state) == 0:
-            return _EMPTY_STATE.copy()
-        n_slots = int(state["n_slots"].iloc[0])
-        slots = int(state["slots"].iloc[0])
-        tab = np.frombuffer(state["table"].iloc[0], dtype=np.uint16).reshape(
-            n_slots, slots
-        ).copy()
+            raise ValueError(
+                f"cuckoo delete: no state for bucket {int(key[0])} "
+                "(n_buckets differs from build_cuckoo?)"
+            )
+        tab, stash, n_slots, slots = _read_state(state)
         if len(rm):
             fps = _fp(rm["h2"].to_numpy())
             i1s = rm["h1"].to_numpy().astype(np.uint64) % np.uint64(n_slots)
             for j in range(len(fps)):
                 fp = fps[j]
+                removed = False
                 for i in (i1s[j], _alt(i1s[j], fp, n_slots)):
                     row = tab[int(i)]
                     hit = np.where(row == fp)[0]
                     if len(hit):
                         row[hit[0]] = 0
+                        removed = True
                         break
-        return pd.DataFrame(
-            {
-                "bucket": [int(key[0])],
-                "table": [tab.tobytes()],
-                "n_slots": [n_slots],
-                "slots": [slots],
-            }
-        )
+                if not removed and len(stash):
+                    hit = np.where(stash == fp)[0]
+                    if len(hit):
+                        stash = np.delete(stash, hit[0])
+        return _state_row(int(key[0]), tab, stash, n_slots, slots)
 
     return (
         cuckoo.groupBy(F.col("bucket"))
@@ -210,17 +245,16 @@ def cuckoo_maybe_seen(
         if len(state) == 0:
             out["maybe_seen"] = False
             return out
-        n_slots = int(state["n_slots"].iloc[0])
-        slots = int(state["slots"].iloc[0])
-        tab = np.frombuffer(state["table"].iloc[0], dtype=np.uint16).reshape(
-            n_slots, slots
-        )
+        tab, stash, n_slots, slots = _read_state(state)
         fps = _fp(cand["h2"].to_numpy())
         i1 = cand["h1"].to_numpy().astype(np.uint64) % np.uint64(n_slots)
         i2 = _alt(i1, fps, n_slots)
         hit1 = (tab[i1.astype(np.int64)] == fps[:, None]).any(axis=1)
         hit2 = (tab[i2.astype(np.int64)] == fps[:, None]).any(axis=1)
-        out["maybe_seen"] = hit1 | hit2
+        hits = hit1 | hit2
+        if len(stash):
+            hits = hits | np.isin(fps, stash)
+        out["maybe_seen"] = hits
         return out
 
     schema = ", ".join(

@@ -20,8 +20,6 @@ join + min to query.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,18 +43,23 @@ def cms_build(
     weight_col: str | None = None,
 ) -> DataFrame:
     """(row, col, cnt): the d x 16^w_hex sketch of key frequencies
-    (optionally weighted). One stack-explode over d rows + one
-    aggregate with map-side combine; only non-zero cells are stored."""
+    (optionally weighted). ONE scan of the input: each row explodes a
+    d-element literal array of (row, col) structs (a union of d selects
+    would plan d independent scans of the source), then one aggregate
+    with map-side combine; only non-zero cells are stored."""
     weight = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    rows = [
-        df.select(
-            F.lit(i).alias("row"),
-            cms_col_index(F.col(key_col), i, w_hex).alias("col"),
-            weight.alias("_w"),
-        )
-        for i in range(d)
-    ]
-    stacked = reduce(lambda a, b: a.unionByName(b), rows)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms_col_index(F.col(key_col), i, w_hex).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    stacked = df.select(F.explode(cells).alias("_rc"), weight.alias("_w")).select(
+        F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"), "_w"
+    )
     return stacked.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
 
 
@@ -80,15 +83,18 @@ def cms_estimate(
     """probes + ``est``: min over the d cells each key hashes to (absent
     cell = 0). The sketch side is at most d*16^w_hex rows — broadcast."""
     pr = probes.select(key_col).distinct()
-    cells = [
-        pr.select(
-            F.col(key_col),
-            F.lit(i).alias("row"),
-            cms_col_index(F.col(key_col), i, w_hex).alias("col"),
-        )
-        for i in range(d)
-    ]
-    stacked = reduce(lambda a, b: a.unionByName(b), cells)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms_col_index(F.col(key_col), i, w_hex).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    stacked = pr.select(F.col(key_col), F.explode(cells).alias("_rc")).select(
+        key_col, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col")
+    )
     joined = stacked.join(F.broadcast(cms), ["row", "col"], "left").withColumn(
         "cnt", F.coalesce(F.col("cnt"), F.lit(0))
     )

@@ -176,6 +176,10 @@ def _token_refill(round_seconds: float) -> F.Column:
 def _token_capacity(round_seconds: float, burst_rounds: int) -> F.Column:
     """Bucket capacity: an idle host may bank at most ``burst_rounds``
     rounds of refill, still clamped by the robots max_tokens cap."""
+    if burst_rounds < 1:
+        # burst_rounds 0 would make capacity 0 and silently starve every
+        # ruled host forever (budget stuck at 0) — reject loudly instead
+        raise ValueError(f"burst_rounds must be >= 1, got {burst_rounds}")
     refill = _token_refill(round_seconds)
     return F.least(
         F.col("max_tokens").cast("long"),

@@ -134,6 +134,8 @@ class ReferenceSimulator:
         refill * burst_rounds), refill = floor(round_seconds / delay)."""
         from .scheduler import _TOKEN_UNCAPPED
 
+        if self.burst_rounds < 1:
+            raise ValueError(f"burst_rounds must be >= 1, got {self.burst_rounds}")
         rule = self.rules[host]
         refill = int(self.round_seconds / rule[2]) if rule[2] else _TOKEN_UNCAPPED
         cap = min(

@@ -166,9 +166,13 @@ def warc_sink(
     the ~1 GB segment convention with repartition before calling.
 
     Lazy like any transformation — nothing is written until the manifest
-    is acted on; act on it EXACTLY ONCE (a re-run rewrites the same
-    deterministic files, so a retry is idempotent rather than
-    duplicating records)."""
+    is acted on; act on it EXACTLY ONCE. Each task attempt writes an
+    attempt-unique temp file and atomically renames it into place on
+    success, so concurrent attempts of the same partition (speculation,
+    zombie executors, retries) can never interleave bytes — and because
+    record bytes are a pure function of the rows, whichever attempt's
+    rename lands last leaves the identical content. A killed attempt
+    leaves only a ``.tmp`` file that never shadows the real part."""
     import os
 
     from pyspark import TaskContext
@@ -181,9 +185,10 @@ def warc_sink(
     )
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
         suffix = ".warc.gz" if compress else ".warc"
-        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        path = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{suffix}")
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         n = 0
         raw_bytes = 0
         sink = None
@@ -193,7 +198,7 @@ def warc_sink(
                     continue
                 if sink is None:
                     os.makedirs(out_dir, exist_ok=True)
-                    sink = gzip.open(path, "wb") if compress else open(path, "wb")
+                    sink = gzip.open(tmp, "wb") if compress else open(tmp, "wb")
                 for url, ts, payload in zip(
                     pdf["url"], pdf["warc_ts"], pdf["payload"]
                 ):
@@ -203,10 +208,17 @@ def warc_sink(
                     sink.write(rec)
                     raw_bytes += len(rec)
                     n += 1
+        except BaseException:
+            if sink is not None:
+                sink.close()
+                sink = None
+                os.remove(tmp)
+            raise
         finally:
             if sink is not None:
                 sink.close()
         if n:
+            os.replace(tmp, path)
             yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [raw_bytes]})
 
     return sel.mapInPandas(write, WARC_SINK_MANIFEST_SCHEMA)
@@ -251,19 +263,24 @@ def warc_sink_cdx(
     )
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
         suffix = ".warc.gz" if compress else ".warc"
-        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        path = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{suffix}")
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         offset = 0
         sink = None
+        # index rows buffer until the part file is atomically in place —
+        # emitting them earlier would hand out offsets into a temp file
+        # that a failed attempt deletes (the buffer is metadata-sized:
+        # ~100 bytes/record, bounded by the partition's row count)
+        rows: list[tuple] = []
         try:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 if sink is None:
                     os.makedirs(out_dir, exist_ok=True)
-                    sink = gzip.open(path, "wb") if compress else open(path, "wb")
-                rows = []
+                    sink = gzip.open(tmp, "wb") if compress else open(tmp, "wb")
                 for url, ts, payload, urlkey in zip(
                     pdf["url"], pdf["warc_ts"], pdf["payload"], pdf["urlkey"]
                 ):
@@ -272,16 +289,24 @@ def warc_sink_cdx(
                     sink.write(rec)
                     rows.append((urlkey, url, ts, path, offset, len(rec)))
                     offset += len(rec)
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "urlkey", "url", "warc_ts", "path",
-                        "warc_offset", "warc_length",
-                    ],
-                )
+        except BaseException:
+            if sink is not None:
+                sink.close()
+                sink = None
+                os.remove(tmp)
+            raise
         finally:
             if sink is not None:
                 sink.close()
+        if rows:
+            os.replace(tmp, path)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "urlkey", "url", "warc_ts", "path",
+                    "warc_offset", "warc_length",
+                ],
+            )
 
     return sel.mapInPandas(write, CDX_SCHEMA)
 
@@ -297,28 +322,59 @@ def read_warc_records(spark: SparkSession, cdx: DataFrame) -> DataFrame:
     read_warc docstring points at for petabyte-scale access."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache_path: Optional[str] = None
-        cache_raw: bytes = b""
-        for pdf in batches:
-            rows = []
-            for path, off, length in zip(
-                pdf["path"], pdf["warc_offset"], pdf["warc_length"]
-            ):
-                if path != cache_path:
-                    with open(path, "rb") as f:
-                        cache_raw = f.read()
-                    if cache_raw[:2] == b"\x1f\x8b":
-                        cache_raw = gzip.decompress(cache_raw)
-                    cache_path = path
-                for r in parse_warc_stream(cache_raw[off : off + length]):
-                    rows.append((r["url"], r["warc_ts"], r["html"], None, None))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
-                )
+        # O(record) memory: a forward-streaming handle per file — plain
+        # files seek; gzip streams decompress-and-discard up to each
+        # offset (offsets arrive sorted, so one decompression pass per
+        # file total). Never materializes a whole (decompressed) segment.
+        cur_path: Optional[str] = None
+        stream = None
+        is_gz = False
+        pos = 0
+
+        def open_at(path: str):
+            f = open(path, "rb")
+            gz = f.read(2) == b"\x1f\x8b"
+            f.seek(0)
+            return (gzip.GzipFile(fileobj=f) if gz else f), gz
+
+        def close():
+            nonlocal stream
+            if stream is not None:
+                stream.close()
+                stream = None
+
+        try:
+            for pdf in batches:
+                rows = []
+                for path, off, length in zip(
+                    pdf["path"], pdf["warc_offset"], pdf["warc_length"]
+                ):
+                    off, length = int(off), int(length)
+                    if path != cur_path or off < pos:
+                        close()
+                        stream, is_gz = open_at(path)
+                        cur_path, pos = path, 0
+                    if is_gz:
+                        skip = off - pos
+                        while skip > 0:
+                            chunk = stream.read(min(skip, 1 << 20))
+                            if not chunk:
+                                break
+                            skip -= len(chunk)
+                    else:
+                        stream.seek(off)
+                    data = stream.read(length)
+                    pos = off + length
+                    for r in parse_warc_stream(data):
+                        rows.append((r["url"], r["warc_ts"], r["html"], None, None))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                    )
+        finally:
+            close()
 
     part = cdx.select("path", "warc_offset", "warc_length").repartition("path")
-    # read offsets in file order so a (future) seek-based reader streams
-    # forward; with the in-memory slice it just keeps output deterministic
+    # offsets MUST be read in file order: the gzip path streams forward
     part = part.sortWithinPartitions("path", "warc_offset")
     return part.mapInPandas(fetch, PAGES_TABLE_SCHEMA)
