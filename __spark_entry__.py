@@ -1289,6 +1289,38 @@ from kept
 SQL_PIPELINE_CORPUS_LM = _sql_pipeline_corpus_lm()
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan (operators/packing): documents
+    concatenated into 8 deterministic shard streams, chunked into
+    64-token training windows — (shard, start_offset, bin span) per doc,
+    all integer arithmetic over a per-shard cumsum window."""
+    from xtracted_crawlers_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.pack_documents(d, window=64, n_shards=8)
+
+
+SQL_CORPUS_PACK = """
+with d as (select doc_id,
+             cast(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) as bigint) as n_tokens,
+             cast(
+               ((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar) || 'pack'), 1, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar) || 'pack'), 2, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar) || 'pack'), 3, 1)) - 1)) % 8
+             as int) as shard
+           from documents),
+o as (select doc_id, shard, n_tokens,
+        cast(coalesce(sum(n_tokens) over (partition by shard order by doc_id
+                                     rows between unbounded preceding and 1 preceding), 0)
+             as bigint) as start_offset
+      from d)
+select doc_id, shard, n_tokens, start_offset,
+       cast(floor(start_offset / 64) as bigint) as bin_first,
+       cast(floor((start_offset + greatest(n_tokens, 1) - 1) / 64) as bigint) as bin_last
+from o
+"""
+
+
 def q_sketch_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters (operators/sketch): 3x4096 CMS over
     the corpus token stream, point estimates for every distinct term,
@@ -2743,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_bucket": q_text_lm_bucket,
         "sketch_heavy_terms": q_sketch_heavy_terms,
         "pipeline_corpus_lm": q_pipeline_corpus_lm,
+        "corpus_pack": q_corpus_pack,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2816,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_bucket": SQL_TEXT_LM_BUCKET,
         "sketch_heavy_terms": SQL_SKETCH_HEAVY_TERMS,
         "pipeline_corpus_lm": SQL_PIPELINE_CORPUS_LM,
+        "corpus_pack": SQL_CORPUS_PACK,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
