@@ -119,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--out", required=True)
     x.add_argument("--min-quality", type=float, default=None)
     x.add_argument("--langs", help="comma-separated language allow-list (e.g. en,de)")
+    x.add_argument(
+        "--split",
+        help="stamp a deterministic train/val/test column, e.g. '0.9,0.05' "
+        "(train frac, val frac; the rest is test) — keyed on url_id, so "
+        "membership never moves as the crawl grows",
+    )
     x.add_argument("--master", default=None)
 
     u = sub.add_parser(
@@ -197,10 +203,17 @@ def main(argv: list[str] | None = None) -> int:
         from .crawl import export_corpus
 
         catalog = ParquetSnapshotCatalog(args.warehouse)
+        split_fracs = None
+        if args.split:
+            parts = [float(s) for s in args.split.split(",")]
+            if len(parts) != 2 or sum(parts) > 1.0 or min(parts) < 0:
+                raise SystemExit("--split wants 'train_frac,val_frac' summing <= 1")
+            split_fracs = (parts[0], parts[1])
         n = export_corpus(
             spark, catalog, args.out,
             min_quality=args.min_quality,
             langs=[s for s in (args.langs or "").split(",") if s] or None,
+            split_fracs=split_fracs,
         )
         print(json.dumps({"out": args.out, "rows": n}))
         return 0

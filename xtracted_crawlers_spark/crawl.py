@@ -670,6 +670,7 @@ def export_corpus(
     out: str,
     min_quality: Optional[float] = None,
     langs: Optional[list[str]] = None,
+    split_fracs: Optional[tuple[float, float]] = None,
 ) -> int:
     """The crawler's product as a training-data corpus table: completed
     frontier rows → (url, url_id, text, payload_json, n_tokens, quality,
@@ -700,6 +701,14 @@ def export_corpus(
         "url", "url_id", "user_id", "job_id", "text", "payload_json",
         "n_tokens", "quality", "round", "pred_lang",
     )
+    if split_fracs is not None:
+        # deterministic train/val/test stamp keyed on the canonical
+        # identity (membership stable as the crawl grows — sampling.py)
+        from .operators import sampling
+
+        out_df = out_df.withColumn(
+            "split", sampling.split_assign("url_id", split_fracs)
+        )
     obs = Observation()
     out_df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
