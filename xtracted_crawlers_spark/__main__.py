@@ -37,7 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
 
     c = sub.add_parser("crawl", help="run (or resume) a crawl")
-    c.add_argument("--pages", required=True, help="pages parquet path")
+    c.add_argument("--pages", required=True, help="pages parquet path (or WARC dir)")
+    c.add_argument(
+        "--pages-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="read --pages as the parquet pages table or as a directory "
+        "of WARC segments (Common-Crawl-style; file-granular parallelism)",
+    )
     c.add_argument("--seeds", help="seeds parquet path (omit when resuming)")
     c.add_argument("--robots", help="robots parquet path")
     c.add_argument("--warehouse", required=True, help="snapshot catalog root")
@@ -239,10 +246,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from .crawl import CrawlConfig, run_crawl
-    from .sources import read_pages
+    from .sources import read_pages, read_warc
 
     catalog = ParquetSnapshotCatalog(args.warehouse)
-    pages = read_pages(spark, args.pages)
+    if args.pages_format == "warc":
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = read_pages(spark, args.pages)
     seeds = spark.read.parquet(args.seeds) if args.seeds else None
     robots = spark.read.parquet(args.robots) if args.robots else None
     cfg = CrawlConfig(
