@@ -270,3 +270,22 @@ def test_crash_between_token_and_frontier_commit_never_overgrants(
               cfg=CrawlConfig(round_seconds=10.0, max_rounds=20, token_carryover=True))
     final = _token_map(catalog.load(spark, HOST_TOKENS_TABLE))
     assert set(final) == set(tokens_r1)
+
+
+def test_budgets_join_is_broadcast(spark):
+    """Plan guard: the one-row-per-host budgets table joins into the
+    rank cut as a BroadcastHashJoin — the frontier side must never
+    shuffle for it."""
+    rows = [
+        ("h1", f"u{i}", 1, f"ID{i:02d}", f"https://h1/dp/ID{i:02d}", 0, i + 1)
+        for i in range(6)
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "host string, user_id string, job_id long, url_id string, "
+        "url string, priority int, job_urls_seq long",
+    )
+    budgets = spark.createDataFrame([("h1", 4)], "host string, budget long")
+    cut = scheduler.select_round(frontier, rules=None, budgets=budgets)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

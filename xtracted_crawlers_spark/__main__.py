@@ -102,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--job", type=int, help="filter to one job_id")
     j.add_argument("--master", default=None)
 
+    tk = sub.add_parser(
+        "tokens", help="per-host token-bucket state (the host_tokens table a "
+        "--token-carryover crawl maintains) — banked grant per ruled host"
+    )
+    tk.add_argument("--warehouse", required=True)
+    tk.add_argument("--host", help="filter to one host")
+    tk.add_argument("--master", default=None)
+
     h = sub.add_parser(
         "history", help="per-round snapshot lineage + metrics from the manifests "
         "(resume/time-travel evidence; no Spark session needed)"
@@ -203,6 +211,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.job is not None:
             df = df.filter(F.col("job_id") == args.job)
         for r in df.orderBy("user_id", "job_id").collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "tokens":
+        from pyspark.sql import functions as F
+
+        from .crawl import HOST_TOKENS_TABLE
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        if not catalog.exists(HOST_TOKENS_TABLE):
+            print(json.dumps({"error": "no host_tokens table (crawl ran without --token-carryover?)"}))
+            return 1
+        df = catalog.load(spark, HOST_TOKENS_TABLE)
+        if args.host:
+            df = df.filter(F.col("host") == args.host)
+        for r in df.orderBy("host").collect():
             print(json.dumps(r.asDict(), default=str))
         return 0
 
