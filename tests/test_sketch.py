@@ -68,3 +68,43 @@ def test_heavy_hitters_complete(spark, tokens):
     }
     assert truth_heavy <= found  # one-sided: no true heavy hitter missed
     assert len(found - truth_heavy) <= max(1, len(truth_heavy))  # few collisions
+
+
+def test_hll_distinct_per_group_accuracy(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.range(200_000).select(
+        (F2.col("id") % 5).alias("host"),
+        ((F2.col("id") * 7919) % 60_000).cast("string").alias("url"),
+    )
+    est = {
+        r["host"]: r["n_distinct"]
+        for r in sketch.distinct_estimate(
+            sketch.distinct_sketch(df, "url", by=["host"]), by=["host"]
+        ).collect()
+    }
+    exact = {
+        r["host"]: r["n"]
+        for r in df.groupBy("host").agg(F2.countDistinct("url").alias("n")).collect()
+    }
+    for h in exact:
+        assert abs(est[h] - exact[h]) / exact[h] < 0.05, (h, est[h], exact[h])
+
+
+def test_hll_merge_equals_whole(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.range(100_000).select(
+        (F2.col("id") % 3).alias("host"), F2.col("id").cast("string").alias("url")
+    )
+    half1 = sketch.distinct_sketch(df.filter(F2.col("id") % 2 == 0), "url", by=["host"])
+    half2 = sketch.distinct_sketch(df.filter(F2.col("id") % 2 == 1), "url", by=["host"])
+    merged = sketch.distinct_estimate(
+        sketch.distinct_merge(half1, half2, by=["host"]), by=["host"]
+    )
+    whole = sketch.distinct_estimate(
+        sketch.distinct_sketch(df, "url", by=["host"]), by=["host"]
+    )
+    m = {r["host"]: r["n_distinct"] for r in merged.collect()}
+    w = {r["host"]: r["n_distinct"] for r in whole.collect()}
+    assert m == w  # identical sketches -> identical estimates

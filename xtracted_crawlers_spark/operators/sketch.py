@@ -101,6 +101,47 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(F.min("cnt").cast("long").alias("est"))
 
 
+def distinct_sketch(
+    df: DataFrame,
+    key_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark's built-in Apache
+    DataSketches HLL): one fixed-size binary sketch per ``by`` group —
+    e.g. distinct URLs per host across a whole crawl, accumulated round
+    by round with ``distinct_merge`` instead of ever re-scanning (or
+    holding) the key sets. Pytest-validated (no DuckDB oracle: the
+    sketch bytes are DataSketches-internal; accuracy and the
+    merge==whole property are asserted instead — the contract README
+    lists this operator as pytest-covered)."""
+    keys = by or []
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def distinct_estimate(sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """(by..., n_distinct): point estimates off the sketches (±~2% at
+    the default lg_k=12)."""
+    keys = by or []
+    return sketches.select(
+        *keys, F.hll_sketch_estimate("sketch").cast("long").alias("n_distinct")
+    )
+
+
+def distinct_merge(a: DataFrame, b: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Group-wise union of two sketch tables — the sketch of the union
+    of the underlying key sets, at fixed size, without touching either
+    input again (the cross-round accumulation path)."""
+    keys = by or []
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
 def cms_heavy_hitters(
     cms: DataFrame,
     candidates: DataFrame,
