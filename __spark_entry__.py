@@ -545,6 +545,58 @@ allsel_{r} as (select k from {'sel_1' if r == 2 else f'allsel_{r - 1}'}
 SQL_CRAWL_TOKEN_BUCKET = _sql_token_bucket()
 
 
+def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit policy (operators/freshness.change_stats +
+    due_for_recrawl): a synthetic per-URL fingerprint history derived
+    from events (obs time = per-URL row_number in event order, fp =
+    md5(event_type) so consecutive same-type events read 'unchanged'),
+    integer Cho-style intervals, plus the due flag at time 5."""
+    from xtracted_crawlers_spark.operators import freshness
+
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    h0 = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 120).cast("string")).alias("url_id"),
+        F.col("event_id").alias("_k"),
+        F.md5(F.col("event_type")).alias("fp"),
+    )
+    w = Window.partitionBy("url_id").orderBy("_k")
+    hist = h0.withColumn("round", F.row_number().over(w).cast("long")).drop("_k")
+    stats = freshness.change_stats(hist, min_interval=1, max_interval=8)
+    due = freshness.due_for_recrawl(stats, 5).select("url_id", F.lit(True).alias("due"))
+    return stats.join(due, "url_id", "left").select(
+        "url_id", "n_obs", "n_changes", "last_time", "recrawl_interval",
+        F.coalesce(F.col("due"), F.lit(False)).alias("due"),
+    )
+
+
+SQL_CRAWL_CHANGE_RATE = """
+with h0 as (select 'u' || cast(event_id % 120 as varchar) as url_id,
+                   event_id as k, md5(event_type) as fp
+            from events),
+h as (select url_id, fp,
+        cast(row_number() over (partition by url_id order by k) as bigint) as round
+      from h0),
+c as (select url_id, round, fp,
+        cast(fp <> lag(fp) over (partition by url_id order by round) as int) as changed
+      from h),
+g as (select url_id,
+        cast(count(*) as bigint) as n_obs,
+        cast(coalesce(sum(changed), 0) as bigint) as n_changes,
+        cast(max(round) as bigint) as last_time
+      from c group by 1),
+s as (select *,
+        least(cast(8 as bigint),
+              greatest(cast(1 as bigint),
+                       cast(floor(n_obs / (n_changes + 1)) as bigint))) as recrawl_interval
+      from g)
+select url_id, n_obs, n_changes, last_time, recrawl_interval,
+       last_time + recrawl_interval <= 5 as due
+from s
+"""
+
+
 def q_crawl_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -2742,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_token_bucket": q_crawl_token_bucket,
+        "crawl_change_rate": q_crawl_change_rate,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
         "crawl_reset_fanout": q_crawl_reset_fanout,
@@ -2817,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_sitemap_seeds": SQL_CRAWL_SITEMAP_SEEDS,
         "crawl_priority_schedule": SQL_CRAWL_PRIORITY_SCHEDULE,
         "crawl_token_bucket": SQL_CRAWL_TOKEN_BUCKET,
+        "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,
         "crawl_reset_fanout": SQL_CRAWL_RESET_FANOUT,

@@ -625,6 +625,23 @@ def refresh_stale(
         .join(F.broadcast(rdf), "round")
         .filter(F.col("_lm") > F.col("_fetched_at"))
     )
+    return {"event": "refresh_stale", "stale": _commit_reset(
+        spark, catalog, stale, fr, "refresh_stale"
+    )}
+
+
+def _commit_reset(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    stale: DataFrame,
+    fr: DataFrame,
+    event: str,
+) -> int:
+    """Reset completed rows to pending (reset_job's column contract) and
+    commit as a delta stamped with the CURRENT round id (run_crawl's
+    resume arithmetic keeps counting monotonically past it); recommit
+    the full jobs derive so the counted-exactly-once invariant holds
+    across the re-fetch (rerun_job's pattern)."""
     reset = (
         stale.withColumn("status", F.lit(PENDING))
         .withColumn("retries", F.lit(0))
@@ -637,31 +654,79 @@ def refresh_stale(
     )
     n = reset.count()
     if n > 0:
-        # stamp the CURRENT round id so run_crawl's resume arithmetic
-        # (latest round + 1) keeps counting monotonically past the
-        # refresh commit
         last = catalog.latest_snapshot(FRONTIER_TABLE)
         rid = catalog.manifest(FRONTIER_TABLE, last).round_id or 0
         catalog.commit(
             reset,
             FRONTIER_TABLE,
             round_id=rid,
-            metrics={"event": "refresh_stale", "stale": n, "kind": "delta"},
+            metrics={"event": event, "stale": n, "kind": "delta"},
         )
-        # the jobs table counted these rows complete; recommit the full
-        # derive (rerun_job's pattern) or the next round's incremental
-        # job_status_delta double-counts the re-fetch (counted-exactly-
-        # once invariant, quota.py) and the table briefly lies
-        # 'complete' over pending rows
         if catalog.exists(QT.JOBS_TABLE):
             catalog.commit(
                 QT.job_status(load_frontier(spark, catalog)).coalesce(1),
                 QT.JOBS_TABLE,
                 round_id=rid,
-                metrics={"event": "refresh_stale", "stale": n},
+                metrics={"event": event, "stale": n},
             )
     reset.unpersist()
-    return {"event": "refresh_stale", "stale": int(n)}
+    return int(n)
+
+
+def load_completion_history(
+    spark: SparkSession, catalog: ParquetSnapshotCatalog
+) -> DataFrame:
+    """(user_id, job_id, url_id, round, fp): EVERY completed observation
+    in the retained snapshot history — unlike load_frontier this keeps
+    all versions of a key, one row per (identity, fetch round), with
+    fp = md5 of the extracted text. The raw material for
+    operators.freshness.change_stats; retention (and therefore how far
+    back the estimator sees) is bounded by expire_snapshots."""
+    hist = catalog.history(FRONTIER_TABLE)
+    if not hist:
+        raise FileNotFoundError("frontier has no committed snapshot")
+    base_idx = max(
+        (i for i, m in enumerate(hist) if m.metrics.get("kind", "base") == "base"),
+        default=0,
+    )
+    parts = [catalog.load(spark, FRONTIER_TABLE, m.snapshot_id) for m in hist[base_idx:]]
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    done = allrows.filter((F.col("status") == COMPLETE) & F.col("text").isNotNull())
+    # a completed row reappears verbatim in later base compactions —
+    # (identity, round) identifies one OBSERVATION exactly once
+    return done.select(
+        "user_id", "job_id", "url_id", F.col("round").cast("long").alias("round"),
+        F.md5("text").alias("fp"),
+    ).distinct()
+
+
+def refresh_by_change_rate(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    min_interval: int = 1,
+    max_interval: int = 16,
+) -> dict[str, Any]:
+    """Adaptive freshness re-crawl (operators/freshness): completed rows
+    whose observed change rate says they are due — last fetch at least
+    recrawl_interval rounds old — are reset to pending; the next
+    run_crawl re-fetches exactly those. Publisher-independent twin of
+    refresh_stale (which needs sitemap lastmod): the crawler's own
+    fingerprint history drives the schedule."""
+    from .operators import freshness
+
+    fr = load_frontier(spark, catalog)
+    last = catalog.latest_snapshot(FRONTIER_TABLE)
+    current_round = catalog.manifest(FRONTIER_TABLE, last).round_id or 0
+    history = load_completion_history(spark, catalog)
+    stats = freshness.change_stats(
+        history, min_interval=min_interval, max_interval=max_interval
+    )
+    due = freshness.due_for_recrawl(stats, int(current_round)).select("url_id")
+    stale = fr.filter(F.col("status") == COMPLETE).join(due, "url_id")
+    n = _commit_reset(spark, catalog, stale, fr, "refresh_change_rate")
+    return {"event": "refresh_change_rate", "stale": n, "round": int(current_round)}
 
 
 def export_corpus(
