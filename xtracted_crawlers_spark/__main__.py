@@ -102,6 +102,21 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--job", type=int, help="filter to one job_id")
     j.add_argument("--master", default=None)
 
+    rf = sub.add_parser(
+        "refresh", help="reset completed URLs that are due for re-crawl: "
+        "adaptive change-rate policy by default (the crawler's own "
+        "fingerprint history), or sitemap <lastmod> staleness with "
+        "--sitemaps; follow with a plain `crawl` run (no --seeds) to "
+        "re-fetch exactly the reset rows"
+    )
+    rf.add_argument("--warehouse", required=True)
+    rf.add_argument("--max-interval", type=int, default=16,
+                    help="change-rate mode: never back off beyond this many rounds")
+    rf.add_argument("--sitemaps", help="comma-separated sitemap URLs: use "
+                    "publisher lastmod instead of observed change rates")
+    rf.add_argument("--pages", help="pages source (required with --sitemaps)")
+    rf.add_argument("--master", default=None)
+
     tk = sub.add_parser(
         "tokens", help="per-host token-bucket state (the host_tokens table a "
         "--token-carryover crawl maintains) — banked grant per ruled host"
@@ -212,6 +227,24 @@ def main(argv: list[str] | None = None) -> int:
             df = df.filter(F.col("job_id") == args.job)
         for r in df.orderBy("user_id", "job_id").collect():
             print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "refresh":
+        from .crawl import refresh_by_change_rate, refresh_stale
+        from .sources import read_pages
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        if args.sitemaps:
+            if not args.pages:
+                raise SystemExit("--sitemaps needs --pages (the table the harvest walks)")
+            pages = read_pages(spark, args.pages)
+            m = refresh_stale(
+                spark, catalog, pages,
+                [s for s in args.sitemaps.split(",") if s],
+            )
+        else:
+            m = refresh_by_change_rate(spark, catalog, max_interval=args.max_interval)
+        print(json.dumps(m))
         return 0
 
     if args.cmd == "tokens":
