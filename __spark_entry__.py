@@ -1690,6 +1690,32 @@ j as (select doc_a, doc_b,
 select doc_a, doc_b, jaccard from j where jaccard >= 0.1
 """
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (dedup.ngram_containment_pairs): directed
+    |A∩B|/|A| over shingle sets — the quote/subset detector symmetric
+    Jaccard misses. Low threshold so the synthetic corpus yields rows."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+with {_SQL_SHINGLES},
+sz as (select doc_id, count(*) as n from sh group by 1),
+inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as it
+          from sh a join sh b using (shingle) where a.doc_id < b.doc_id group by 1, 2),
+pr as (select doc_a, doc_b, it, x.n as na, y.n as nb
+       from inter join sz x on x.doc_id = doc_a join sz y on y.doc_id = doc_b),
+dir as (
+  select doc_a as doc_sub, doc_b as doc_super,
+         round(cast(it as double) / na, 4) as containment from pr
+  union all
+  select doc_b as doc_sub, doc_a as doc_super,
+         round(cast(it as double) / nb, 4) as containment from pr)
+select doc_sub, doc_super, containment from dir where containment >= 0.3
+"""
+
+
 def q_dedup_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-shingle-capped production variant (max_df): shingles with
     document frequency above the cap are dropped from both intersection
@@ -2832,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -2906,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack": SQL_CORPUS_PACK,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_containment": SQL_DEDUP_CONTAINMENT,
         "dedup_jaccard_guarded": SQL_DEDUP_JACCARD_GUARDED,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,

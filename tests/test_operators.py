@@ -641,3 +641,22 @@ def test_html_to_text_hand_cases(spark):
     got = {r["k"]: r["t"] for r in df.select("k", textops.html_to_text(F.col("html")).alias("t")).collect()}
     for k, _, want in cases:
         assert got[k] == want, (k, got[k], want)
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    from xtracted_crawlers_spark.operators import dedup
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated content here now")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_sub"], r["doc_super"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert cont.get((1, 2), 0) >= 0.99  # the small doc is fully contained
+    assert (2, 1) not in cont           # direction matters
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)  # jaccard misses it

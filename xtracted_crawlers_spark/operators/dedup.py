@@ -133,6 +133,66 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+    guard_rows: Optional[int] = ALL_PAIRS_GUARD_ROWS,
+) -> DataFrame:
+    """ASYMMETRIC near-dup — containment = |A∩B| / |A| (Broder's
+    "Containment of B in A" mirrored per direction): catches a document
+    mostly QUOTED inside a larger one, which symmetric Jaccard misses
+    (a 50-shingle doc embedded in a 5000-shingle doc has Jaccard ≤ 0.01
+    but containment 1.0). Output is one DIRECTED row per ordered pair
+    over threshold: (doc_sub ⊂-ish doc_super, containment rounded 4dp).
+    Same hot-shingle guard and all-pairs refusal as ngram_jaccard_pairs
+    (containment shares the O(df²) self-join shape; the scale path is
+    minhash-bucket candidates re-scored with this exact measure)."""
+    if max_df is None and guard_rows is not None:
+        n_docs = docs.count()
+        if n_docs > guard_rows:
+            raise ValueError(
+                f"unguarded exact-containment refused: {n_docs} docs > guard_rows="
+                f"{guard_rows} and max_df is None — set max_df, pre-bucket with "
+                f"minhash_lsh_pairs, or pass guard_rows=None explicitly."
+            )
+    sh = shingles_df(docs, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a"
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b"
+    )
+    a_in_b = both.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        F.round(F.col("inter").cast("double") / F.col("na"), 4).alias("containment"),
+    )
+    b_in_a = both.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        F.round(F.col("inter").cast("double") / F.col("nb"), 4).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, n_perms: int = N_PERMS) -> DataFrame:
     """(doc_id, sig array<string>): P independent minima of
     md5(shingle || '#' || perm).
