@@ -2206,6 +2206,80 @@ def _sql_link_pagerank(iters: int = _PAGERANK_ITERS, damping: str = "0.85") -> s
 SQL_LINK_PAGERANK = _sql_link_pagerank()
 
 
+_HITS_ITERS = 6
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same synthesized host graph as
+    link_pagerank (linkgraph.hits, L1-normalized variant): exact_fold
+    makes every per-node sum AND both norms deterministic left folds, so
+    the 6-iteration double arithmetic is bit-reproducible against the
+    unrolled DuckDB CTE chain."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    return linkgraph.hits(
+        linkgraph.host_edges(_edges(spark, sf_dir)),
+        iters=_HITS_ITERS,
+        exact_fold=True,
+    )
+
+
+def _sql_link_hits(iters: int = _HITS_ITERS) -> str:
+    # every iterated CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, which re-evaluates the whole upstream chain at every one
+    # of the ~6 references per iteration — exponential re-scans of the
+    # base table (observed as fd exhaustion) — while Spark's loop
+    # checkpoints each vector once per iteration
+    parts = [
+        f"with {_SQL_EDGES.replace('he as (', 'he as materialized (')},",
+        "e as materialized (select src_host as src, dst_host as dst from he),",
+        "nodes as materialized (select src as node from e union select dst as node from e),",
+        "h0 as materialized (select node, 1.0 as h from nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} as materialized (select e.dst as node,\n"
+            f"  list_dot_product(list(h.h order by e.src), list(1.0 order by e.src)) as s\n"
+            f"  from e join h{i-1} h on h.node = e.src group by e.dst),"
+        )
+        parts.append(
+            f"a0_{i} as materialized (select n.node, coalesce(ar{i}.s, 0.0) as a\n"
+            f"  from nodes n left join ar{i} on ar{i}.node = n.node),"
+        )
+        parts.append(
+            f"an{i} as materialized (select list_dot_product(list(a order by node), list(1.0 order by node)) as nv from a0_{i}),"
+        )
+        parts.append(
+            f"a{i} as materialized (select node, a / (select nv from an{i}) as a from a0_{i}),"
+        )
+        parts.append(
+            f"hr{i} as materialized (select e.src as node,\n"
+            f"  list_dot_product(list(a.a order by e.dst), list(1.0 order by e.dst)) as s\n"
+            f"  from e join a{i} a on a.node = e.dst group by e.src),"
+        )
+        parts.append(
+            f"h0_{i} as materialized (select n.node, coalesce(hr{i}.s, 0.0) as h\n"
+            f"  from nodes n left join hr{i} on hr{i}.node = n.node),"
+        )
+        parts.append(
+            f"hn{i} as materialized (select list_dot_product(list(h order by node), list(1.0 order by node)) as nv from h0_{i}),"
+        )
+        parts.append(
+            f"h{i} as materialized (select node, h / (select nv from hn{i}) as h from h0_{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"select n.node, coalesce(h{iters}.h, 0.0) as hub, "
+        f"coalesce(a{iters}.a, 0.0) as authority\n"
+        f"from nodes n left join h{iters} on h{iters}.node = n.node "
+        f"left join a{iters} on a{iters}.node = n.node"
+    )
+    return "\n".join(parts)
+
+
+SQL_LINK_HITS = _sql_link_hits()
+
+
 def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline, end-to-end in one plan:
     exact-dedup (keep canonical doc per fingerprint) → language filter
@@ -2836,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_graph": q_link_host_graph,
         "link_degrees": q_link_degrees,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -2912,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "link_host_graph": SQL_LINK_HOST_GRAPH,
         "link_degrees": SQL_LINK_DEGREES,
         "link_pagerank": SQL_LINK_PAGERANK,
+        "link_hits": SQL_LINK_HITS,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

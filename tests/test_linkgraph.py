@@ -319,3 +319,40 @@ def test_extract_anchors_text_and_resolution(spark):
         "https://other.test/x": "CAPS link",
         "https://shop.test/p/deal": "empty-ish",
     }
+
+
+def test_hits_matches_pure_python_and_direction(spark):
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    # hub page 'dir' links to three authorities; 'a1' also linked by x,y
+    edges = [
+        ("dir", "a1"), ("dir", "a2"), ("dir", "a3"),
+        ("x", "a1"), ("y", "a1"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in linkgraph.hits(df, iters=6).collect()
+    }
+
+    # pure-python L1-normalized reference
+    nodes = sorted({n for e in edges for n in e})
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(6):
+        a = {n: sum(h[s] for s, d in edges if d == n) for n in nodes}
+        z = sum(a.values()); a = {n: v / z for n, v in a.items()}
+        h = {n: sum(a[d] for s, d in edges if s == n) for n in nodes}
+        z = sum(h.values()); h = {n: v / z for n, v in h.items()}
+    for n in nodes:
+        assert abs(got[n][0] - h[n]) < 1e-9, (n, got[n][0], h[n])
+        assert abs(got[n][1] - a[n]) < 1e-9, (n, got[n][1], a[n])
+
+    # direction: 'dir' is the top hub with zero authority; a1 the top authority
+    assert got["dir"][0] == max(v[0] for v in got.values()) and got["dir"][1] == 0.0
+    assert got["a1"][1] == max(v[1] for v in got.values()) and got["a1"][0] == 0.0
+    # exact_fold agrees with the production sum at tolerance
+    ef = {r["node"]: (r["hub"], r["authority"])
+          for r in linkgraph.hits(df, iters=6, exact_fold=True).collect()}
+    for n in nodes:
+        assert abs(ef[n][0] - got[n][0]) < 1e-9 and abs(ef[n][1] - got[n][1]) < 1e-9

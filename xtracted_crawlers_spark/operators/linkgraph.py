@@ -322,3 +322,96 @@ def pagerank(
             )
     e_deg.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over an edge
+    table: a(v) ← Σ_{u→v} h(u), h(u) ← Σ_{u→v} a(v), each vector
+    L1-normalized per half-iteration (sum-normalization instead of the
+    L2 of the original paper — same fixed-point DIRECTION and ordering,
+    chosen because it needs no sqrt and keeps every operation one of
+    IEEE +,/ so the DuckDB oracle reproduces the doubles bit-for-bit;
+    documented deviation). Returns (node, hub, authority).
+
+    Two shuffles per half-iteration (join on one endpoint, agg on the
+    other) + one tiny norm aggregate. The score vector is checkpointed
+    EVERY iteration (unlike pagerank's every-4): normalization embeds
+    the scores subtree twice (scores ⨯ agg(scores)), so an uncut plan
+    doubles per half-iteration — 2^12 analysis blowup by iteration 6.
+    exact_fold makes every sum — per-node AND the norms — a
+    deterministic left fold (pagerank's verification mode; production
+    keeps F.sum's partial combine). Crawl use: authority ranks feed
+    with_host_priority exactly like in-degree or PageRank, hub scores
+    flag link farms/directories for URL-quality gating."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+
+    def _endpoint_sum(rows: DataFrame, key_out: str, other: str, val: str) -> DataFrame:
+        if exact_fold:
+            return rows.groupBy(key_out).agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(other, val))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x[val],
+                ).alias("_sum")
+            )
+        return rows.groupBy(key_out).agg(F.sum(val).alias("_sum"))
+
+    def _normalized(scores: DataFrame, col: str) -> DataFrame:
+        scores = scores.localCheckpoint()  # cut lineage BEFORE the self-referencing norm
+        if exact_fold:
+            norm = scores.agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("node", col))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x[col],
+                ).alias("_n")
+            )
+        else:
+            norm = scores.agg(F.sum(col).alias("_n"))
+        return scores.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col(col) / F.col("_n")).alias(col)
+        )
+
+    h = nodes.withColumn("h", F.lit(1.0))
+    a = None
+    for i in range(iters):
+        a_rows = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.col("src").alias("_o"), F.col("h").alias("_v"))
+        )
+        a_raw = _endpoint_sum(a_rows, "node", "_o", "_v")
+        a = _normalized(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("_sum", F.lit(0.0)).alias("a")
+            ),
+            "a",
+        )
+        h_rows = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), F.col("dst").alias("_o"), F.col("a").alias("_v"))
+        )
+        h_raw = _endpoint_sum(h_rows, "node", "_o", "_v")
+        h = _normalized(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("_sum", F.lit(0.0)).alias("h")
+            ),
+            "h",
+        )
+    out = nodes.join(h, "node", "left").join(a, "node", "left").select(
+        "node",
+        F.coalesce("h", F.lit(0.0)).alias("hub"),
+        F.coalesce("a", F.lit(0.0)).alias("authority"),
+    )
+    return out
