@@ -74,3 +74,10 @@ def test_precomputed_length_column(spark):
     assert rows[1]["start_offset"] == 0 and rows[1]["bin_last"] == 0
     assert rows[2]["start_offset"] == 10 and rows[2]["bin_first"] == 0 and rows[2]["bin_last"] == 1
     assert rows[3]["start_offset"] == 40 and rows[3]["bin_first"] == 1 and rows[3]["bin_last"] == 2
+
+
+def test_packing_window_is_per_shard_not_global(spark, docs):
+    plan = packing.pack_documents(docs, window=W, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    # the cumsum window must partition by shard (hashpartitioning on the
+    # shard expression), never a single-partition global sort
+    assert "SinglePartition" not in plan, plan[:2000]

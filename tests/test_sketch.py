@@ -108,3 +108,12 @@ def test_hll_merge_equals_whole(spark):
     m = {r["host"]: r["n_distinct"] for r in merged.collect()}
     w = {r["host"]: r["n_distinct"] for r in whole.collect()}
     assert m == w  # identical sketches -> identical estimates
+
+
+def test_cms_build_scans_input_once(spark, tokens):
+    plan = sketch.cms_build(tokens, d=D, w_hex=WHEX)._jdf.queryExecution().executedPlan().toString()
+    # a union-of-d-selects formulation planned d scans; the exploded
+    # struct array must keep it to one (the input here is an InMemory
+    # cache; count its scan nodes)
+    n_scans = plan.count("InMemoryTableScan")
+    assert n_scans == 1, plan[:2000]
