@@ -289,3 +289,26 @@ def test_budgets_join_is_broadcast(spark):
     cut = scheduler.select_round(frontier, rules=None, budgets=budgets)
     plan = cut._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_politeness_audit_from_committed_state(spark, corpus, tmp_path):
+    """The compliance gate: per-(round, host) fetch counts out of the
+    COMMITTED history never exceed the configured bound — for the
+    memoryless scheduler AND the carry-over bucket (bound = capacity);
+    and the audit actually detects violations (stricter-than-crawled
+    bound flags rows)."""
+    from xtracted_crawlers_spark.crawl import audit_politeness
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    robots = spark.read.parquet(corpus["robots"])
+    for flag in (False, True):
+        catalog = ParquetSnapshotCatalog(str(tmp_path / f"aud{flag}"))
+        cfg = CrawlConfig(round_seconds=10.0, max_rounds=8, token_carryover=flag)
+        run_crawl(spark, catalog, pages, seeds, robots=robots, cfg=cfg)
+        bad = audit_politeness(spark, catalog, robots, cfg)
+        assert bad.count() == 0, bad.collect()
+        # negative control: auditing against a 10x tighter clock must
+        # flag the delayed hosts the real crawl legitimately exceeded
+        strict = CrawlConfig(round_seconds=1.0, token_carryover=flag)
+        assert audit_politeness(spark, catalog, robots, strict).count() > 0

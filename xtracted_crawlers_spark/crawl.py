@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from . import frontier as FR
 from . import quota as QT
-from . import scheduler, seen
+from . import scheduler, seen, urlnorm
 from .catalog import ParquetSnapshotCatalog
 from .extract import PAYLOAD_SCHEMA, with_extraction
 from .frontier import COMPLETE, KEY, MAX_RETRIES, PENDING, RUNNING
@@ -700,6 +700,61 @@ def load_completion_history(
         "user_id", "job_id", "url_id", F.col("round").cast("long").alias("round"),
         F.md5("text").alias("fp"),
     ).distinct()
+
+
+def audit_politeness(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    robots: Optional[DataFrame],
+    cfg: Optional[CrawlConfig] = None,
+) -> DataFrame:
+    """Compliance audit from COMMITTED state (not from trusting the
+    scheduler): per (round, host) fetch counts out of the frontier's
+    retained history, joined against the politeness bound that config
+    implies — the memoryless per-round budget, or bucket CAPACITY when
+    token carryover is on (an idle host may legitimately burst to it).
+    Returns the violations (empty = compliant); the whole thing is two
+    tiny aggregates over history + a broadcast join, so it can run
+    after every crawl as a gate. Rows touched by fetch attempts are
+    counted via the per-round delta commits (completed AND failed/missed
+    attempts all stamp `round`)."""
+    cfg = cfg or CrawlConfig()
+    hist = catalog.history(FRONTIER_TABLE)
+    if not hist:
+        raise FileNotFoundError("frontier has no committed snapshot")
+    parts = [catalog.load(spark, FRONTIER_TABLE, m.snapshot_id) for m in hist]
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    attempts = (
+        allrows.filter(F.col("round") > 0)
+        .select(
+            "user_id", "job_id", "url_id",
+            F.col("round").cast("long").alias("round"),
+            urlnorm.host(F.col("url")).alias("host"),
+        )
+        .distinct()  # a row re-appears verbatim in later base compactions
+        .groupBy("round", "host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fetched"))
+    )
+    if robots is None:
+        return attempts.filter(F.lit(False)).withColumn(
+            "bound", F.lit(None).cast("long")
+        )
+    rules = scheduler.robots_rules(robots)
+    if cfg.token_carryover:
+        bound = rules.select(
+            "host",
+            scheduler._token_capacity(cfg.round_seconds, cfg.burst_rounds).alias("bound"),
+        )
+    else:
+        bound = scheduler.host_budgets(rules, cfg.round_seconds).withColumnRenamed(
+            "budget", "bound"
+        )
+    joined = attempts.join(F.broadcast(bound), "host")
+    return joined.filter(F.col("n_fetched") > F.col("bound")).select(
+        "round", "host", "n_fetched", "bound"
+    )
 
 
 def refresh_by_change_rate(
