@@ -102,6 +102,18 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--job", type=int, help="filter to one job_id")
     j.add_argument("--master", default=None)
 
+    au = sub.add_parser(
+        "audit", help="politeness compliance audit from committed state: "
+        "per-(round, host) fetch counts vs the configured bound; prints "
+        "violations (empty output + exit 0 = compliant)"
+    )
+    au.add_argument("--warehouse", required=True)
+    au.add_argument("--robots", required=True, help="robots parquet path")
+    au.add_argument("--round-seconds", type=float, default=60.0)
+    au.add_argument("--token-carryover", action="store_true")
+    au.add_argument("--burst-rounds", type=int, default=4)
+    au.add_argument("--master", default=None)
+
     rf = sub.add_parser(
         "refresh", help="reset completed URLs that are due for re-crawl: "
         "adaptive change-rate policy by default (the crawler's own "
@@ -228,6 +240,21 @@ def main(argv: list[str] | None = None) -> int:
         for r in df.orderBy("user_id", "job_id").collect():
             print(json.dumps(r.asDict(), default=str))
         return 0
+
+    if args.cmd == "audit":
+        from .crawl import CrawlConfig, audit_politeness
+
+        catalog = ParquetSnapshotCatalog(args.warehouse)
+        robots = spark.read.parquet(args.robots)
+        cfg = CrawlConfig(
+            round_seconds=args.round_seconds,
+            token_carryover=args.token_carryover,
+            burst_rounds=args.burst_rounds,
+        )
+        bad = audit_politeness(spark, catalog, robots, cfg).collect()
+        for r in bad:
+            print(json.dumps(r.asDict(), default=str))
+        return 1 if bad else 0
 
     if args.cmd == "refresh":
         from .crawl import refresh_by_change_rate, refresh_stale
