@@ -420,6 +420,59 @@ order by priority, job_urls_seq, user_id, job_id, url_id limit 100
 """
 
 
+def q_crawl_fair_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant fair cut (scheduler.select_round(fair_users=True)):
+    5 tenants with LIFETIME seq offsets (user u's seqs start at
+    u*10000+1, modeling veterans vs fresh tenants), per-host budget 7,
+    global budget 200 — the round-robin interleave by per-user queue
+    position, where pure FIFO would hand the whole budget to tenant 0."""
+    from pyspark.sql import Window
+
+    from xtracted_crawlers_spark import scheduler
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 < 2)
+    k = F.col("o_orderkey")
+    sel = o.select(
+        k.alias("k"),
+        F.concat(F.lit("u"), (k % 5).cast("string")).alias("user_id"),
+        (k % 3).cast("long").alias("job_id"),
+        k.cast("string").alias("url_id"),
+        F.concat(F.lit("https://h"), (k % 11).cast("string"), F.lit("/dp/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (k % 11).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("priority"),
+    )
+    w = Window.partitionBy("user_id").orderBy("k")
+    sel = sel.withColumn(
+        "job_urls_seq",
+        (F.row_number().over(w) + (F.col("k") % 5) * 10000).cast("long"),
+    )
+    cut = scheduler.select_round(
+        sel, rules=None, default_budget=7, global_budget=200, fair_users=True
+    )
+    return cut.select("user_id", "host", "url_id", "job_urls_seq")
+
+
+SQL_CRAWL_FAIR_SCHEDULE = """
+with u0 as (select o_orderkey as k,
+              'u' || cast(o_orderkey % 5 as varchar) as user_id,
+              o_orderkey % 3 as job_id,
+              cast(o_orderkey as varchar) as url_id,
+              'h' || cast(o_orderkey % 11 as varchar) as host
+            from orders where o_orderkey % 37 < 2),
+sel as (select *,
+          cast(row_number() over (partition by user_id order by k)
+               + (k % 5) * 10000 as bigint) as job_urls_seq
+        from u0),
+p as (select *, row_number() over (partition by user_id
+         order by job_urls_seq, job_id, url_id) as upos from sel),
+r as (select *, row_number() over (partition by host
+         order by upos, user_id, job_urls_seq, job_id, url_id) as hr from p),
+cut as (select * from r where hr <= 7)
+select user_id, host, url_id, job_urls_seq from cut
+order by upos, user_id, job_urls_seq, job_id, url_id limit 200
+"""
+
+
 _TB_ROUNDS = 6
 _TB_BURST = 3
 
@@ -2894,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_token_bucket": q_crawl_token_bucket,
+        "crawl_fair_schedule": q_crawl_fair_schedule,
         "crawl_change_rate": q_crawl_change_rate,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
@@ -2972,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_sitemap_seeds": SQL_CRAWL_SITEMAP_SEEDS,
         "crawl_priority_schedule": SQL_CRAWL_PRIORITY_SCHEDULE,
         "crawl_token_bucket": SQL_CRAWL_TOKEN_BUCKET,
+        "crawl_fair_schedule": SQL_CRAWL_FAIR_SCHEDULE,
         "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
         "crawl_status_metrics": SQL_CRAWL_STATUS_METRICS,
         "crawl_retry_giveup": SQL_CRAWL_RETRY_GIVEUP,

@@ -394,3 +394,84 @@ def test_host_priority_reorders_global_cut(spark):
     fifo_cut = scheduler.select_round(sel, rules=None, global_budget=5).collect()
     key = lambda r: (r["user_id"], r["job_id"], r["url_id"])
     assert sorted(map(key, flat_cut)) == sorted(map(key, fifo_cut))
+
+
+def test_fair_users_interleaves_and_defaults_unchanged(spark):
+    """job_urls_seq is a PER-USER LIFETIME counter (frontier.assign_seq
+    carries the offset across jobs), so under global FIFO a veteran
+    tenant's new job (seq 5001+) starves behind any fresh tenant's
+    entire queue. fair_users ranks by position in the CURRENT pending
+    set instead — and with one user it is a provable no-op."""
+    from xtracted_crawlers_spark import scheduler
+
+    rows = []
+    # fresh tenant: 100 pending, seq 1..100
+    for i in range(100):
+        rows.append((f"hA{i % 7}", "userA", 1, f"A{i:03d}", f"https://hA{i % 7}/dp/A{i:03d}", 0, i + 1))
+    # veteran tenant: 10 pending, lifetime seq 5001..5010
+    for i in range(10):
+        rows.append((f"hB{i % 3}", "userB", 9, f"B{i:03d}", f"https://hB{i % 3}/dp/B{i:03d}", 0, 5001 + i))
+    fr = spark.createDataFrame(
+        rows,
+        "host string, user_id string, job_id long, url_id string, "
+        "url string, priority int, job_urls_seq long",
+    )
+    fifo = scheduler.select_round(fr, global_budget=10)
+    assert {r["user_id"] for r in fifo.collect()} == {"userA"}
+
+    fair = scheduler.select_round(fr, global_budget=10, fair_users=True)
+    by_user = {r["user_id"] for r in fair.collect()}
+    assert by_user == {"userA", "userB"}
+    got = sorted(
+        (r["user_id"], r["job_urls_seq"]) for r in fair.collect()
+    )
+    # round-robin: positions 1..5 of each user, regardless of lifetime seq
+    assert got == [("userA", s) for s in range(1, 6)] + [
+        ("userB", s) for s in range(5001, 5006)
+    ]
+
+    one_user = fr.filter(F.col("user_id") == "userA")
+    a = scheduler.select_round(one_user, global_budget=10)
+    b = scheduler.select_round(one_user, global_budget=10, fair_users=True)
+    assert sorted(r["url_id"] for r in a.collect()) == sorted(r["url_id"] for r in b.collect())
+
+
+def test_fair_users_crawl_parity_with_simulator(spark, tmp_path):
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+    from xtracted_crawlers_spark.simulator import ReferenceSimulator
+
+    out = str(tmp_path / "fcorpus")
+    paths = fixtures.write_corpus(spark, out, 80, 40, n_hosts=6)
+    pages_df = spark.read.parquet(paths["pages"])
+    seeds_df = spark.read.parquet(paths["seeds"])
+    catalog = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(global_budget=7, max_rounds=20, fair_users=True)
+    run_crawl(spark, catalog, pages_df, seeds_df, cfg=cfg)
+
+    pages = {
+        r["url"]: bytes(r["html"]).decode()
+        for r in pages_df.collect()
+    }
+    sim = ReferenceSimulator(pages, global_budget=7, fair_users=True)
+    seeds = sorted(
+        seeds_df.collect(), key=lambda r: (r["user_id"], r["job_id"], r["seed_idx"])
+    )
+    by_job: dict = {}
+    for s in seeds:
+        by_job.setdefault((s["user_id"], s["job_id"]), []).append(s["url"])
+    for (u, j), urls in sorted(by_job.items()):
+        sim.submit(u, j, urls)
+    sim.run(max_rounds=20)
+
+    sim_rows = {(r["user_id"], r["job_id"], r["url_id"]): r for r in sim.frontier_rows()}
+    eng = {
+        (r["user_id"], r["job_id"], r["url_id"]): r
+        for r in load_frontier(spark, catalog).collect()
+    }
+    assert set(eng) == set(sim_rows)
+    for k, s in sim_rows.items():
+        assert eng[k]["status"] == s["status"], k
+        assert eng[k]["retries"] == s["retries"], k
+        assert eng[k]["payload_json"] == s["payload_json"], k

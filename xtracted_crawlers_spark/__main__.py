@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--burst-rounds", type=int, default=4)
     c.add_argument(
+        "--fair-users",
+        action="store_true",
+        help="round-robin the global cut across users by per-user queue "
+        "position (multi-tenant fairness) instead of the default global "
+        "FIFO; pair with --global-budget, where FIFO starves late tenants",
+    )
+    c.add_argument(
         "--priority-from-links",
         action="store_true",
         help="derive host authority (link in-degree over the pages table) "
@@ -354,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         sitemap_from_robots=args.sitemap_from_robots,
         token_carryover=args.token_carryover,
         burst_rounds=args.burst_rounds,
+        fair_users=args.fair_users,
     )
     quota = spark.read.parquet(args.quota) if getattr(args, "quota", None) else None
     host_scores = None

@@ -108,6 +108,11 @@ class CrawlConfig:
     # schedule is identical to the memoryless default.
     token_carryover: bool = False
     burst_rounds: int = 4
+    # multi-tenant fairness (opt-in; default keeps the reference's pure
+    # global FIFO): the global cut interleaves users round-robin by
+    # per-user queue position instead of letting the earliest enqueuer
+    # monopolize every round's global budget. See scheduler.select_round.
+    fair_users: bool = False
     # sitemap seed channel (flag-gated like expand_variants; the
     # reference has no sitemap support — new surface): harvest these
     # sitemap/sitemap-index URLs from the pages table before bootstrap
@@ -283,6 +288,7 @@ def run_round(
         global_budget=cfg.global_budget,
         max_host_budget=cfg.max_host_budget,
         budgets=token_budgets_df,
+        fair_users=cfg.fair_users,
     )
     # A5 quota gate: cut the politeness-cut selection to each user's
     # remaining api_requests budget, in the same crawl order. The

@@ -293,6 +293,7 @@ def select_round(
     global_budget: Optional[int] = None,
     max_host_budget: Optional[int] = None,
     budgets: Optional[DataFrame] = None,
+    fair_users: bool = False,
 ) -> DataFrame:
     """The round's fetch set: robots gate → per-host FIFO rank ≤ budget →
     global ordered cut.
@@ -301,6 +302,17 @@ def select_round(
     carry-over ``token_budgets`` — overriding the memoryless per-round
     derivation from ``rules``. The robots Disallow/Allow gate still
     comes from ``rules`` either way.
+
+    ``fair_users``: opt-in multi-tenant fairness. The default crawl
+    order is the reference's global FIFO by (priority, job_urls_seq) —
+    under a global budget a tenant who enqueued first monopolizes every
+    round until their backlog drains. With fairness on, the global cut
+    orders by (priority, per-user position, …): position k of EVERY
+    user beats position k+1 of any user, i.e. a round-robin interleave
+    (the new per-user rank window shuffles on user_id — same cardinality
+    class as the per-host window it runs beside). Per-host budgets and
+    the robots gate are unchanged; with a single user the schedule is
+    provably identical to the default.
 
     Shuffle pruning: a LITERAL rank cap turns the window into a
     WindowGroupLimit with a Partial stage BEFORE the exchange — each map
@@ -314,7 +326,14 @@ def select_round(
     gated = apply_robots_gate(selectable, rules)
     # full tie-break (user_id, job_id, url_id) — two users can share a
     # (priority, seq) pair; the schedule must be deterministic for parity
-    order = ["priority", "job_urls_seq", "user_id", "job_id", "url_id"]
+    if fair_users:
+        wu = Window.partitionBy("user_id").orderBy(
+            "priority", "job_urls_seq", "job_id", "url_id"
+        )
+        gated = gated.withColumn("_user_pos", F.row_number().over(wu).cast("long"))
+        order = ["priority", "_user_pos", "user_id", "job_urls_seq", "job_id", "url_id"]
+    else:
+        order = ["priority", "job_urls_seq", "user_id", "job_id", "url_id"]
     w = Window.partitionBy("host").orderBy(*order)
     ranked = gated.withColumn("_host_rank", F.row_number().over(w))
     caps = [c for c in (global_budget, max_host_budget) if c is not None]
@@ -332,7 +351,7 @@ def select_round(
     if global_budget is not None:
         # ordered global cut — top-k by crawl order, not a full sort
         cut = cut.orderBy(*order).limit(global_budget)
-    return cut.drop("_host_rank")
+    return cut.drop("_host_rank", "_user_pos")
 
 
 def priority_decade(score_col, n_buckets: int = 4):

@@ -62,6 +62,7 @@ class ReferenceSimulator:
         priority_buckets: int = 4,
         token_carryover: bool = False,  # twin of CrawlConfig.token_carryover
         burst_rounds: int = 4,
+        fair_users: bool = False,  # twin of CrawlConfig.fair_users
     ):
         self.pages = pages
         self.rows: dict[tuple[str, int, str], SimRow] = {}
@@ -82,6 +83,7 @@ class ReferenceSimulator:
         # grant per RULED host, clamped at capacity = refill*burst_rounds
         self.token_carryover = token_carryover
         self.burst_rounds = burst_rounds
+        self.fair_users = fair_users
         self.tokens: dict[str, int] = {}
         for h, txt in (robots or {}).items():
             self.rules[h] = parse_robots(txt)
@@ -175,7 +177,21 @@ class ReferenceSimulator:
             for r in self.rows.values()
             if r.status in ("pending", "running") and r.retries < 3 and not self._disallowed(r)
         ]
-        eligible.sort(key=lambda r: (r.priority, r.job_urls_seq, r.user_id, r.job_id, r.url_id))
+        if self.fair_users:
+            # twin of select_round(fair_users=True): per-user queue
+            # position in (priority, seq, job, url) order, then a
+            # round-robin interleave across users
+            eligible.sort(key=lambda r: (r.priority, r.job_urls_seq, r.job_id, r.url_id))
+            pos: dict[str, int] = {}
+            keyed = []
+            for r in eligible:
+                p = pos.get(r.user_id, 0) + 1
+                pos[r.user_id] = p
+                keyed.append(((r.priority, p, r.user_id, r.job_urls_seq, r.job_id, r.url_id), r))
+            keyed.sort(key=lambda t: t[0])
+            eligible = [r for _, r in keyed]
+        else:
+            eligible.sort(key=lambda r: (r.priority, r.job_urls_seq, r.user_id, r.job_id, r.url_id))
         round_budgets: dict[str, int] = {}
         if self.token_carryover:
             # budgets snapshot BEFORE the cut (twin of token_budgets
