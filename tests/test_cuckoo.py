@@ -117,3 +117,13 @@ def test_overfull_filter_never_false_negative(spark):
     # fingerprint collisions mean a few duplicate fps shared one slot;
     # the table must be nearly empty after deleting everything
     assert left < 60, left
+
+
+def test_probe_raises_on_bucket_count_mismatch(spark):
+    """Probing with a different n_buckets than the build must fail loudly
+    (merge/delete already did): candidates that hash to a bucket with no
+    state row would otherwise come back maybe_seen=False — a silent
+    false negative for every such key."""
+    filt = cuckoo.build_cuckoo(_keys(spark, 0, 100), n_buckets=4)
+    with pytest.raises(Exception, match="n_buckets"):
+        cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 100), filt, n_buckets=64).collect()

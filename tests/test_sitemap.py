@@ -435,3 +435,44 @@ def test_refresh_stale_keeps_jobs_table_consistent(spark, tmp_path):
     final = jobs[("sitemap", 0)]
     assert final["n_complete"] == final["n_total"]  # counted exactly once
     assert final["job_status"] == "complete"
+
+
+def test_lastmod_ts_naive_values_pin_to_utc(spark):
+    """Naive and date-only <lastmod> values must parse as UTC instants
+    regardless of spark.sql.session.timeZone — refresh_stale compares
+    them against commit times recorded in UTC, so a session-tz parse
+    shifts staleness by the UTC offset (docs/ROUND5.md ADVICE item)."""
+    from xtracted_crawlers_spark.sources.sitemap import lastmod_ts
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        rows = None
+        vals = [
+            ("2026-01-02",),                      # date-only
+            ("2026-01-02T03:04:05",),             # naive datetime
+            ("2026-01-02T03:04:05Z",),            # zulu
+            ("2026-01-02T05:04:05+02:00",),       # offset (same instant)
+            ("garbage",),                         # junk -> NULL
+        ]
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.createDataFrame(vals, "lastmod string")
+            got = [
+                r.e
+                for r in df.select(
+                    F.unix_timestamp(lastmod_ts("lastmod")).alias("e")
+                ).collect()
+            ]
+            if rows is None:
+                rows = got
+            assert got == rows, tz
+        assert rows[4] is None
+        assert rows[1] == rows[0] + 3 * 3600 + 4 * 60 + 5
+        assert rows[1] == rows[2] == rows[3]
+        # 2026-01-02T00:00:00Z
+        import datetime as dt
+        assert rows[0] == int(
+            dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc).timestamp()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

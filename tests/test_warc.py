@@ -248,3 +248,27 @@ def test_surt_key_jvm_matches_python_twin(spark):
     com = [k for k in keys if k.startswith("com,example")]
     i = keys.index(com[0])
     assert keys[i: i + len(com)] == com
+
+
+def test_warc_gz_part_bytes_deterministic(spark, tmp_path):
+    """Compressed part bytes must be a pure function of the rows: the
+    gzip member header carries mtime=0 and no filename (a wall-clock
+    mtime or the attempt-unique tmp name would differ per attempt/run,
+    breaking the byte-identical reproducibility contract)."""
+    from xtracted_crawlers_spark.sources.warc import warc_sink
+
+    pages = spark.createDataFrame(
+        [(f"https://ex.com/p{i}", b"<html>x</html>") for i in range(50)],
+        "url string, html binary",
+    ).repartition(2, "url").sortWithinPartitions("url")
+    outs = []
+    for d in ("w1", "w2"):
+        out = str(tmp_path / d)
+        manifest = warc_sink(pages, out, compress=True).collect()
+        parts = sorted(r.path for r in manifest)
+        outs.append([open(p, "rb").read() for p in parts])
+    assert outs[0] == outs[1]
+    for blob in outs[0]:
+        assert blob[:2] == b"\x1f\x8b"
+        assert blob[4:8] == b"\x00\x00\x00\x00"  # MTIME pinned to 0
+        assert blob[3] & 0x08 == 0  # FLG.FNAME unset: no tmp-file name leak

@@ -243,8 +243,15 @@ def cuckoo_maybe_seen(
             return pd.DataFrame(columns=list(cand.columns) + ["maybe_seen"])
         out = cand.copy()
         if len(state) == 0:
-            out["maybe_seen"] = False
-            return out
+            # build_cuckoo materializes ALL buckets, so candidates landing
+            # in a stateless bucket can only mean an n_buckets mismatch
+            # between build and probe; returning maybe_seen=False here
+            # would be a silent FALSE NEGATIVE for every such key — fail
+            # loudly, matching the merge/delete guards
+            raise ValueError(
+                f"cuckoo probe: no state for bucket {int(key[0])} "
+                "(n_buckets differs from build_cuckoo?)"
+            )
         tab, stash, n_slots, slots = _read_state(state)
         fps = _fp(cand["h2"].to_numpy())
         i1 = cand["h1"].to_numpy().astype(np.uint64) % np.uint64(n_slots)

@@ -191,12 +191,25 @@ def lastmod_ts(col):
     """W3C-datetime <lastmod> → timestamp column: date-only
     ('2026-01-02'), naive datetime, and offset/Z-carrying datetime all
     parse; anything else is NULL (never an error — sitemaps in the wild
-    carry junk)."""
+    carry junk).
+
+    Naive and date-only values are pinned to UTC by appending an
+    explicit offset before parsing, NOT parsed in the Spark session
+    timezone: refresh_stale compares these against commit times recorded
+    in UTC, and a session-tz parse would shift the staleness test by the
+    UTC offset (spuriously re-crawling or missing by up to a day)."""
     c = F.col(col) if isinstance(col, str) else col
+    has_off = c.rlike("(Z|z|[+-][0-9]{2}:[0-9]{2}|[+-][0-9]{4})$")
     return F.coalesce(
-        F.try_to_timestamp(c),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        # offset/Z-carrying: the generic parser reads it as an instant
+        # (arbitrary fraction digits ok); session tz never consulted
+        F.when(has_off, F.try_to_timestamp(c)),
+        # date-only → midnight UTC
+        F.try_to_timestamp(
+            F.concat(c, F.lit("T00:00:00Z")), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+        ),
+        # naive datetime → pin to UTC by appending Z, then generic parse
+        F.when(~has_off, F.try_to_timestamp(F.concat(c, F.lit("Z")))),
     )
 
 

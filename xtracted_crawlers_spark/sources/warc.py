@@ -142,6 +142,21 @@ def write_warc_file(rows: list[dict], path: str, compress: bool = False) -> None
         f.write(data)
 
 
+def _open_part(tmp: str, compress: bool):
+    """Open a part file for writing; gzip headers are made deterministic
+    (mtime=0, no embedded filename) so compressed part bytes are a pure
+    function of the rows — identical across task attempts and runs, not
+    just the uncompressed record stream. GzipFile.close() closes
+    ``myfileobj`` when set (the same hook gzip.open relies on), so the
+    callers' single sink.close() suffices."""
+    if not compress:
+        return open(tmp, "wb")
+    raw = open(tmp, "wb")
+    gz = gzip.GzipFile(filename="", fileobj=raw, mode="wb", mtime=0)
+    gz.myfileobj = raw
+    return gz
+
+
 WARC_SINK_MANIFEST_SCHEMA = "path string, n_records long, n_bytes long"
 
 
@@ -198,7 +213,7 @@ def warc_sink(
                     continue
                 if sink is None:
                     os.makedirs(out_dir, exist_ok=True)
-                    sink = gzip.open(tmp, "wb") if compress else open(tmp, "wb")
+                    sink = _open_part(tmp, compress)
                 for url, ts, payload in zip(
                     pdf["url"], pdf["warc_ts"], pdf["payload"]
                 ):
@@ -280,7 +295,7 @@ def warc_sink_cdx(
                     continue
                 if sink is None:
                     os.makedirs(out_dir, exist_ok=True)
-                    sink = gzip.open(tmp, "wb") if compress else open(tmp, "wb")
+                    sink = _open_part(tmp, compress)
                 for url, ts, payload, urlkey in zip(
                     pdf["url"], pdf["warc_ts"], pdf["payload"], pdf["urlkey"]
                 ):
