@@ -205,49 +205,92 @@ group by host
 
 def q_crawl_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RFC 9309 wildcard gate, value-checked: per host two Disallow
-    patterns — '/dp/B0*<d1>' ('*' = any char run, raw len 8) and
-    '/dp/*<d2>$' (trailing end-anchor, raw len 7) — and one Allow
-    '/dp/B0*<d2>$' (raw len 9) that out-specifies the anchored Disallow.
-    A third of the synthesized URLs carry '?ref=x', so the '$' anchor is
-    exercised against path+query exactly as the robots spec's
-    '/*.php$' vs '/filename.php?parameters' example requires. Runs
-    through the engine's scheduler.apply_robots_gate (JVM \\Q..\\E
-    regex translation inside the higher-order filter); the oracle
-    mirrors the translated regexes and the raw-length specificity
-    constants. Output: the surviving (k, host) rows."""
+    patterns — '/dp/B0*<d1>' ('*' = any char run, decoded len 8) and
+    '/dp/*<d2>$' (trailing end-anchor, decoded len 7) — plus one
+    %-encoded Disallow '/dp/B0<d3>*%3Fref=x$' (decodes to
+    '/dp/B0<d3>*?ref=x$', len 15 — RFC 9309 §2.2.2 pattern decoding),
+    and one Allow '/dp/B0*<d2>$' (len 9) that out-specifies the
+    anchored Disallow. A third of the synthesized URLs carry '?ref=x'
+    (exercising the '$' anchor against path+query exactly as the spec's
+    '/*.php$' vs '/filename.php?parameters' example requires); of
+    those, k%15==0 carries the query %-ENCODED in the path ('%3Fref=x')
+    and k%15==7 rows get a trailing '%7E' (→ '~'), so PATH-side octet
+    decoding changes real match outcomes (an undecoded '…%7E' would
+    end in 'E' and spuriously hit d1/d2 rules). Runs through the
+    engine's scheduler.apply_robots_gate (decode + JVM \\Q..\\E regex
+    translation inside the higher-order filter); the oracle mirrors the
+    octet decode, the translated regexes and the decoded-length
+    specificity constants. Output: the surviving (k, host) rows."""
     from xtracted_crawlers_spark import scheduler
 
     sel = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey").select(
-        "k", "url", urlnorm.host(F.col("url")).alias("host")
-    )
+        "k",
+        F.when(
+            F.col("k") % 15 == 0,
+            F.replace(F.col("url"), F.lit("?ref=x"), F.lit("%3Fref=x")),
+        )
+        .when(F.col("k") % 15 == 7, F.concat(F.col("url"), F.lit("%7E")))
+        .otherwise(F.col("url"))
+        .alias("url"),
+    ).select("k", "url", urlnorm.host(F.col("url")).alias("host"))
     hn = F.regexp_extract(F.col("host"), "shop(\\d+)", 1).cast("int")
     d1 = F.upper(F.conv((hn % 16).cast("string"), 10, 16))
     d2 = F.upper(F.conv(((hn * 7 + 3) % 16).cast("string"), 10, 16))
+    d3 = F.upper(F.conv(((hn * 5 + 2) % 16).cast("string"), 10, 16))
     rules = sel.select("host").distinct().select(
         "host",
         F.array(
             F.concat(F.lit("/dp/B0*"), d1),
             F.concat(F.lit("/dp/*"), d2, F.lit("$")),
+            F.concat(F.lit("/dp/B0"), d3, F.lit("*%3Fref=x$")),
         ).alias("disallow"),
         F.array(F.concat(F.lit("/dp/B0*"), d2, F.lit("$"))).alias("allow"),
     )
     return scheduler.apply_robots_gate(sel, rules).select("k", "host")
 
 
+def _sql_decode_octets(expr: str) -> str:
+    """DuckDB twin of scheduler.decode_robots_octets: split on '%',
+    decode each fragment's leading hex pair when the octet is printable
+    US-ASCII outside the kept set {2F,2A,24,25}, uppercase kept
+    triplets, pass invalid triplets through literally."""
+    h1 = "(strpos('0123456789ABCDEF', upper(f[1:1]))-1)"
+    h2 = "(strpos('0123456789ABCDEF', upper(f[2:2]))-1)"
+    octet = f"({h1}*16 + {h2})"
+    return (
+        f"(string_split({expr}, '%')[1] || coalesce(array_to_string("
+        f"list_transform(string_split({expr}, '%')[2:], f -> "
+        f"case when regexp_matches(upper(f[1:2]), '^[0-9A-F]{{2}}$') then "
+        f"case when {octet} between 32 and 126 "
+        f"and upper(f[1:2]) not in ('2F','2A','24','25') "
+        f"then chr(cast({octet} as integer)) || f[3:] "
+        f"else '%' || upper(f[1:2]) || f[3:] end "
+        f"else '%' || f end), ''), ''))"
+    )
+
+
 SQL_CRAWL_ROBOTS_WILDCARDS = f"""
-with u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url from orders),
-s as (select k, url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+with u0 as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url from orders),
+u as (select k,
+        case when k % 15 = 0 then replace(url, '?ref=x', '%3Fref=x')
+             when k % 15 = 7 then url || '%7E'
+             else url end as url
+      from u0),
+s0 as (select k, url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) as pathq
       from u),
+s as (select k, url, host, {_sql_decode_octets('pathq')} as pathq from s0),
 r as (select host, cast(regexp_extract(host, 'shop(\\d+)', 1) as int) as hn
       from (select distinct host from s)),
 rules as (select host, upper(to_hex(hn % 16)) as d1,
-                 upper(to_hex((hn * 7 + 3) % 16)) as d2
+                 upper(to_hex((hn * 7 + 3) % 16)) as d2,
+                 upper(to_hex((hn * 5 + 2) % 16)) as d3
           from r),
 g as (select s.k, s.host,
         greatest(
           case when regexp_matches(s.pathq, '^/dp/B0.*' || d1) then 8 else 0 end,
-          case when regexp_matches(s.pathq, '^/dp/.*' || d2 || '$') then 7 else 0 end
+          case when regexp_matches(s.pathq, '^/dp/.*' || d2 || '$') then 7 else 0 end,
+          case when regexp_matches(s.pathq, '^/dp/B0' || d3 || '.*\\?ref=x$') then 15 else 0 end
         ) as maxd,
         case when regexp_matches(s.pathq, '^/dp/B0.*' || d2 || '$') then 9 else 0 end as maxa
       from s join rules using (host))

@@ -475,3 +475,91 @@ def test_fair_users_crawl_parity_with_simulator(spark, tmp_path):
         assert eng[k]["status"] == s["status"], k
         assert eng[k]["retries"] == s["retries"], k
         assert eng[k]["payload_json"] == s["payload_json"], k
+
+
+def test_robots_percent_decoding_unit(spark):
+    """RFC 9309 §2.2.2: percent-encoded pattern octets decode before
+    matching ('Disallow: /a%3Fb' blocks '/a?b'), path octets decode the
+    same way ('/a%3Fb' in the URL also blocks), %2F stays an encoded
+    slash, and %2A / %24 never become live wildcard metacharacters."""
+    cases = [
+        # (pattern, url, blocked?)
+        ("/a%3Fb", "https://h.test/a?b", True),        # pattern decode
+        ("/a%3Fb", "https://h.test/a%3Fb", True),      # both sides decode
+        ("/a%20b", "https://h.test/a%20b", True),
+        ("/fish%2Fchips", "https://h.test/fish%2Fchips", True),   # kept, both encoded
+        ("/fish%2fchips", "https://h.test/fish%2Fchips", True),   # case-normalized
+        ("/fish%2Fchips", "https://h.test/fish/chips", False),    # encoded slash != raw slash
+        ("/a%2Ab", "https://h.test/aXXb", False),      # %2A is NOT a wildcard
+        ("/a%2Ab", "https://h.test/a%2Ab", True),      # ... but matches a literal %2A
+        ("/a%24", "https://h.test/a%24zzz", True),     # %24 is NOT an end anchor
+    ]
+    # invalid %-triplets stay literal in the PURE twin; the engine never
+    # sees them because try_parse_url nulls the path of an invalid URL
+    # (and canonicalize drops such URLs before scheduling)
+    assert scheduler.robots_blocked("/p%ZZq", ["/p%ZZq"], []) is True
+    assert scheduler.decode_robots_octets("/p%ZZq") == "/p%ZZq"
+    rows = [
+        (f"c{i}.test", f"https://c{i}.test{u[len('https://h.test'):]}")
+        for i, (_, u, _b) in enumerate(cases)
+    ]
+    sel = spark.createDataFrame(rows, "host string, url string")
+    rules = spark.createDataFrame(
+        [(f"c{i}.test", [p], []) for i, (p, _, _b) in enumerate(cases)],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    kept = {r["host"] for r in scheduler.apply_robots_gate(sel, rules).collect()}
+    for i, (pat, url, blocked) in enumerate(cases):
+        assert (f"c{i}.test" not in kept) is blocked, (pat, url)
+        # pure twin agrees (patterns canonicalized the parse_robots way)
+        dec = scheduler.decode_robots_octets(pat)
+        path = url[len("https://h.test"):]
+        assert scheduler.robots_blocked(path, [dec], []) is blocked, (pat, url)
+
+
+def test_robots_gate_percent_fuzz_engine_matches_twin(spark):
+    """Seeded fuzz with %-octets on BOTH sides: the gate (pattern decode
+    + path decode + JVM regex) ≡ robots_blocked over parse_robots-style
+    decoded patterns, including longest-decoded-match precedence."""
+    import random
+
+    rnd = random.Random(4242)
+    # patterns are free-form (invalid triplets stay literal); PATHS must
+    # be %-valid or the JVM URL parser nulls them before the gate
+    pat_frags = ["a", "b", "/", "*", "$", "%3F", "%2F", "%41", "%2A", "%25",
+                 "%7E", "%zz", "%4", "?x=1", "=", "."]
+    path_frags = ["a", "b", "/", "%3F", "%2F", "%41", "%2A", "%25",
+                  "%7E", "?x=1", "=", "."]
+    def mk(n, frags):
+        return "/" + "".join(rnd.choice(frags) for _ in range(rnd.randint(0, n)))
+    cases = []
+    for i in range(120):
+        dis = [mk(5, pat_frags) for _ in range(rnd.randint(1, 3))]
+        alw = [mk(5, pat_frags) for _ in range(rnd.randint(0, 2))]
+        path = mk(7, path_frags)
+        cases.append((dis, alw, path))
+    rows = [
+        (f"f{i}.test", f"https://f{i}.test{path}", dis, alw)
+        for i, (dis, alw, path) in enumerate(cases)
+    ]
+    sel = spark.createDataFrame(
+        rows, "host string, url string, disallow array<string>, allow array<string>"
+    )
+    rules = sel.select("host", "disallow", "allow")
+    kept = {
+        r["host"]
+        for r in scheduler.apply_robots_gate(
+            sel.drop("disallow", "allow"), rules
+        ).collect()
+    }
+    from urllib.parse import urlparse
+
+    for i, (dis, alw, path) in enumerate(cases):
+        pr = urlparse(f"https://f{i}.test{path}")
+        pq = pr.path + (("?" + pr.query) if pr.query else "")
+        want = scheduler.robots_blocked(
+            pq,
+            [scheduler.decode_robots_octets(p) for p in dis],
+            [scheduler.decode_robots_octets(p) for p in alw],
+        )
+        assert (f"f{i}.test" not in kept) is want, (dis, alw, path)

@@ -85,3 +85,26 @@ def test_extract_one_total_on_garbage(blob):
         "https://x.test/dp/B012345678", blob.decode("utf-8", errors="replace")
     )
     assert (pj is None) == (er is not None)
+
+
+@given(st.text(alphabet="abAB%0129fF/~*$? -", max_size=24))
+def test_decode_robots_octets_total_and_idempotent(s):
+    from xtracted_crawlers_spark.scheduler import decode_robots_octets
+
+    d = decode_robots_octets(s)
+    assert isinstance(d, str)
+    assert decode_robots_octets(d) == d  # idempotent
+
+
+@given(st.lists(st.integers(min_value=0x20, max_value=0x7E), max_size=8))
+def test_decode_robots_octets_matches_unquote_on_decodables(octets):
+    """For printable-ASCII octets outside the kept set the decode is
+    exactly urllib.parse.unquote."""
+    from urllib.parse import unquote
+
+    from xtracted_crawlers_spark.scheduler import decode_robots_octets
+
+    keep = {0x2F, 0x2A, 0x24, 0x25}
+    octets = [o for o in octets if o not in keep]
+    s = "/p" + "".join(f"%{o:02X}" for o in octets)
+    assert decode_robots_octets(s) == unquote(s)

@@ -27,11 +27,11 @@ from .. import urlnorm
 
 
 def _path(url: Column) -> Column:
-    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
 
 
 def _query(url: Column) -> Column:
-    return F.parse_url(url, F.lit("QUERY"))
+    return F.try_parse_url(url, F.lit("QUERY"))
 
 
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -38,13 +38,80 @@ from . import urlnorm
 _DEFAULT_ROUND_SECONDS = 60.0
 
 
+# RFC 9309 §2.2.2 canonical comparison form: percent-encoded octets are
+# decoded before matching EXCEPT the ones below, which stay encoded
+# (uppercase-normalized) on BOTH the pattern and the path side:
+#   %2F '/' — path structure (an encoded slash is not a path separator),
+#   %2A '*', %24 '$' — pattern metacharacters (a decoded %2A would
+#     silently become a wildcard),
+#   %25 '%' — decoding it re-opens triplet ambiguity ('%2525' would
+#     collapse twice in a split-based pass).
+# Octets outside printable US-ASCII also stay encoded (they are UTF-8
+# sequence bytes; per-octet decode would corrupt them).
+_KEEP_ENCODED = frozenset({0x2F, 0x2A, 0x24, 0x25})
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def decode_robots_octets(s: str) -> str:
+    """Canonical %-decode (RFC 9309 §2.2.2) shared by patterns (applied
+    at parse time) and URL paths (applied at match time): '%XY' with
+    valid hex decodes to its character when the octet is printable
+    US-ASCII outside ``_KEEP_ENCODED``; kept triplets uppercase their
+    hex; invalid triplets pass through literally. Idempotent. Pure
+    twin of ``decode_octets_col`` (fuzz-tested equivalent)."""
+    if "%" not in s:
+        return s
+    parts = s.split("%")
+    out = [parts[0]]
+    for frag in parts[1:]:
+        h = frag[:2].upper()
+        if len(h) == 2 and h[0] in _HEX_DIGITS and h[1] in _HEX_DIGITS:
+            o = int(h, 16)
+            if 0x20 <= o <= 0x7E and o not in _KEEP_ENCODED:
+                out.append(chr(o) + frag[2:])
+            else:
+                out.append("%" + h + frag[2:])
+        else:
+            out.append("%" + frag)
+    return "".join(out)
+
+
+def decode_octets_col(c):
+    """JVM Column twin of decode_robots_octets: split on '%', decode each
+    fragment's leading hex pair via conv+char, re-join. Pure string
+    expressions (codegen-able, no UDF); a no-'%' fast path skips the
+    transform for the common case."""
+    parts = F.split(c, "%", -1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def frag(s):
+        h = F.upper(F.substring(s, 1, 2))
+        valid = h.rlike("^[0-9A-F]{2}$")
+        o = F.conv(h, 16, 10).cast("int")
+        keep = o.isin([0x2F, 0x2A, 0x24, 0x25])
+        tail = F.substring(s, 3, 2147483647)
+        return (
+            F.when(valid & (o >= 0x20) & (o <= 0x7E) & ~keep, F.concat(F.char(o), tail))
+            .when(valid, F.concat(F.lit("%"), h, tail))
+            .otherwise(F.concat(F.lit("%"), s))
+        )
+
+    decoded = F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(rest, frag), "")
+    )
+    return F.when(c.contains("%"), decoded).otherwise(c)
+
+
 def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]]:
     """Minimal robots.txt parse for the 'User-agent: *' group: Disallow
     and Allow path patterns (empty value = no rule) and Crawl-delay.
     Patterns may carry RFC 9309 '*' (any char run) and trailing '$'
     (end anchor) wildcards — matching and longest-match precedence are
-    applied by the gate, not here. No %-decoding (documented gap). Pure
-    function; used both by the vectorized parser and the simulator."""
+    applied by the gate, not here. Percent-encoded pattern octets are
+    decoded here, at parse time (RFC 9309 §2.2.2 — 'Disallow: /a%3Fb'
+    must match path '/a?b'); see decode_robots_octets for the kept-
+    encoded exceptions. Pure function; used both by the vectorized
+    parser and the simulator."""
     disallow: list[str] = []
     allow: list[str] = []
     delay: Optional[float] = None
@@ -59,9 +126,9 @@ def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]
         if key == "user-agent":
             applies = val == "*"
         elif applies and key == "disallow" and val:
-            disallow.append(val)
+            disallow.append(decode_robots_octets(val))
         elif applies and key == "allow" and val:
-            allow.append(val)
+            allow.append(decode_robots_octets(val))
         elif applies and key == "crawl-delay":
             try:
                 delay = float(val)
@@ -83,6 +150,22 @@ def robots_pattern_regex(pattern: str) -> str:
     core = pattern[:-1] if ends else pattern
     body = ".*".join(re.escape(seg) for seg in core.split("*"))
     return "^" + body + ("$" if ends else "")
+
+
+def robots_blocked(path: str, disallow: list[str], allow: list[str]) -> bool:
+    """Pure-Python twin of apply_robots_gate's per-row decision, for the
+    simulator and fuzz tests: patterns are expected in canonical decoded
+    form (parse_robots output); the path is %-decoded here the same way
+    the gate decodes its path column. Longest decoded pattern wins,
+    Allow wins ties."""
+    p = decode_robots_octets(path)
+
+    def hit(pat: str) -> bool:
+        return re.search(robots_pattern_regex(pat), p) is not None
+
+    maxd = max((len(x) for x in disallow if hit(x)), default=0)
+    maxa = max((len(x) for x in allow if hit(x)), default=0)
+    return maxd > maxa
 
 
 def _pattern_rx(p):
@@ -255,18 +338,31 @@ def apply_robots_gate(selectable: DataFrame, rules: Optional[DataFrame]) -> Data
     compile only ever runs for rules that actually carry a wildcard.
     With no Allow rules this degrades to the any-Disallow-match gate.
     Pure JVM exprs (filter + aggregate over the tiny broadcast rule
-    arrays)."""
+    arrays).
+
+    RFC 9309 §2.2.2 %-decoding: both sides are compared in canonical
+    decoded form. Patterns are decoded once per host row here (so
+    hand-built rule tables behave like parse_robots output — decoding
+    is idempotent); the path decodes per selectable row behind a
+    no-'%' fast path. Specificity for longest-match precedence is the
+    DECODED pattern length (octets actually compared), consistently in
+    the gate, the simulator and the oracles."""
     if rules is None:
         return selectable
-    gated = selectable.join(
-        F.broadcast(rules.select("host", "disallow", "allow")), "host", "left"
+    rules_dec = rules.select(
+        "host",
+        F.transform(F.col("disallow"), decode_octets_col).alias("disallow"),
+        F.transform(F.col("allow"), decode_octets_col).alias("allow"),
     )
+    gated = selectable.join(F.broadcast(rules_dec), "host", "left")
     # RFC 9309 matches against the path INCLUDING the query string
     # ('/*.php$' must NOT match '/filename.php?parameters' — spec example)
-    q = F.parse_url("url", F.lit("QUERY"))
-    path = F.concat(
-        F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")),
-        F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    q = F.try_parse_url("url", F.lit("QUERY"))
+    path = decode_octets_col(
+        F.concat(
+            F.coalesce(F.try_parse_url("url", F.lit("PATH")), F.lit("")),
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        )
     )
 
     def longest_match(col: str):

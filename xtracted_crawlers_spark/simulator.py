@@ -148,27 +148,21 @@ class ReferenceSimulator:
         return min(cap, self.tokens.get(host, 0) + refill)
 
     def _disallowed(self, row: SimRow) -> bool:
-        # RFC 9309 longest-match: the most-specific (longest raw pattern,
-        # '*'/'$' wildcards counted) matching Disallow blocks unless an
-        # Allow of >= specificity matches (Allow wins ties) — mirror of
-        # scheduler.apply_robots_gate via robots_pattern_regex
+        # RFC 9309 longest-match via the shared pure twin: the most-
+        # specific (longest DECODED pattern, '*'/'$' wildcards counted)
+        # matching Disallow blocks unless an Allow of >= specificity
+        # matches (Allow wins ties); %-octets decode on both sides
+        # (patterns at parse_robots time, the path inside robots_blocked)
         rule = self.rules.get(row.host)
         if not rule:
             return False
-        import re
         from urllib.parse import urlparse
 
-        from .scheduler import robots_pattern_regex
+        from .scheduler import robots_blocked
 
         pr = urlparse(row.url)
         path = pr.path + (("?" + pr.query) if pr.query else "")
-
-        def hit(p: str) -> bool:
-            return re.search(robots_pattern_regex(p), path) is not None
-
-        maxd = max((len(p) for p in rule[0] if hit(p)), default=0)
-        maxa = max((len(p) for p in rule[1] if hit(p)), default=0)
-        return maxd > maxa
+        return robots_blocked(path, rule[0], rule[1])
 
     # -- rounds ---------------------------------------------------------------
     def run_round(self, round_id: int) -> dict[str, Any]:

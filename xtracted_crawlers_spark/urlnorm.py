@@ -34,7 +34,7 @@ AMAZON_PRODUCT = "amazon_product"
 
 def url_path(url: Column | str) -> Column:
     """Path component of the URL (query excluded)."""
-    return F.parse_url(url, F.lit("PATH"))
+    return F.try_parse_url(url, F.lit("PATH"))
 
 
 def url_id(url: Column | str) -> Column:
@@ -67,7 +67,7 @@ def host(url: Column | str) -> Column:
 
 def root_url(url: Column | str) -> Column:
     """scheme://netloc when scheme startswith http, else NULL."""
-    proto = F.parse_url(url, F.lit("PROTOCOL"))
+    proto = F.try_parse_url(url, F.lit("PROTOCOL"))
     return F.when(
         proto.startswith("http"),
         F.concat(proto, F.lit("://"), netloc(url)),
