@@ -127,3 +127,93 @@ def test_probe_raises_on_bucket_count_mismatch(spark):
     filt = cuckoo.build_cuckoo(_keys(spark, 0, 100), n_buckets=4)
     with pytest.raises(Exception, match="n_buckets"):
         cuckoo.cuckoo_maybe_seen(_keys(spark, 0, 100), filt, n_buckets=64).collect()
+
+
+# --- crawl-loop wiring: seen_filter='cuckoo' -------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    from xtracted_crawlers_spark import fixtures
+
+    out = str(tmp_path_factory.mktemp("cuckoo_corpus"))
+    return fixtures.write_corpus(spark, out, 60, 40, n_hosts=6)
+
+
+def test_crawl_parity_bloom_vs_cuckoo(spark, corpus, tmp_path):
+    """Both filters are PRE-filters — the exact anti-join is the
+    authority — so a crawl with seen_filter='cuckoo' must end in a final
+    frontier byte-identical to the bloom run on the same corpus, while
+    committing its own seen_cuckoo snapshots at the frontier commit
+    points (resume-consistent pair)."""
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"]).limit(10)
+    states = {}
+    for kind in ("bloom", "cuckoo"):
+        cat = ParquetSnapshotCatalog(str(tmp_path / kind))
+        cfg = CrawlConfig(
+            max_rounds=3,
+            expand_variants=True,
+            seen_filter=kind,
+            bloom_buckets=N_BUCKETS,
+            cuckoo_expected_per_bucket=512,
+        )
+        metrics = run_crawl(spark, cat, pages, seeds, cfg=cfg)
+        assert any(m.get("discovered", 0) > 0 for m in metrics)
+        assert cat.exists(f"seen_{kind}")
+        states[kind] = {
+            (r["user_id"], r["job_id"], r["url_id"]): r
+            for r in load_frontier(spark, cat).collect()
+        }
+    b, c = states["bloom"], states["cuckoo"]
+    assert set(b) == set(c), "URL-seen set differs between filters"
+    for k in b:
+        for col in ("status", "retries", "job_urls_seq", "payload_json"):
+            assert b[k][col] == c[k][col], (k, col)
+
+
+def test_crawl_cuckoo_filter_state_covers_frontier(spark, corpus, tmp_path):
+    """The committed seen_cuckoo state must answer maybe_seen=True for
+    every key the crawl discovered or seeded (no false negatives across
+    the merge/commit/reload cycle), and support retiring an expiry
+    window via delete_cuckoo — the sliding-window re-crawl story."""
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"]).limit(10)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(
+        max_rounds=3,
+        expand_variants=True,
+        seen_filter="cuckoo",
+        bloom_buckets=N_BUCKETS,
+        cuckoo_expected_per_bucket=512,
+    )
+    run_crawl(spark, cat, pages, seeds, cfg=cfg)
+    filt = cat.load(spark, "seen_cuckoo")
+    keys = load_frontier(spark, cat).select("user_id", "job_id", "url_id")
+    flagged = cuckoo.cuckoo_maybe_seen(keys, filt, N_BUCKETS)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+    # retire a window: deleted keys stop probing as seen (modulo the
+    # bounded FPR from OTHER keys' fingerprints), so a re-crawl would
+    # re-admit them through the filter
+    expire = keys.limit(5)
+    pruned = cuckoo.delete_cuckoo(filt, expire, N_BUCKETS)
+    still = cuckoo.cuckoo_maybe_seen(expire, pruned, N_BUCKETS)
+    assert still.filter(F.col("maybe_seen")).count() <= 1  # FPR slack
+
+
+def test_seen_filter_kind_validation():
+    from xtracted_crawlers_spark.crawl import CrawlConfig, seen_filter_kind
+
+    assert seen_filter_kind(CrawlConfig()) == "none"
+    assert seen_filter_kind(CrawlConfig(use_bloom=True)) == "bloom"
+    assert seen_filter_kind(CrawlConfig(seen_filter="cuckoo")) == "cuckoo"
+    # explicit seen_filter wins over the legacy alias
+    assert seen_filter_kind(CrawlConfig(use_bloom=True, seen_filter="cuckoo")) == "cuckoo"
+    with pytest.raises(ValueError):
+        seen_filter_kind(CrawlConfig(seen_filter="xor"))

@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--round-seconds", type=float, default=60.0)
     c.add_argument("--expand-variants", action="store_true")
     c.add_argument("--use-bloom", action="store_true")
+    c.add_argument(
+        "--seen-filter",
+        choices=["none", "bloom", "cuckoo"],
+        default="none",
+        help="seen-set pre-filter for variant expansion: bloom (grow-only)"
+        " or cuckoo (supports expiry deletes for sliding-window re-crawl);"
+        " --use-bloom is the legacy alias for bloom",
+    )
     c.add_argument("--storage", choices=["delta", "full"], default="delta")
     c.add_argument("--master", default=None)
     c.add_argument(
@@ -353,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         max_rounds=args.rounds,
         expand_variants=args.expand_variants,
         use_bloom=args.use_bloom,
+        seen_filter=args.seen_filter,
         frontier_storage=args.storage,
         sitemap_seeds=(
             [u for u in args.sitemap_seeds.split(",") if u] if args.sitemap_seeds else None

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from . import frontier as FR
 from . import quota as QT
-from . import scheduler, seen, urlnorm
+from . import cuckoo, scheduler, seen, urlnorm
 from .catalog import ParquetSnapshotCatalog
 from .extract import PAYLOAD_SCHEMA, with_extraction
 from .frontier import COMPLETE, KEY, MAX_RETRIES, PENDING, RUNNING
@@ -66,6 +66,23 @@ class CrawlConfig:
     expand_variants: bool = False  # reference plumbing exists but is unused; flag-gated
     use_bloom: bool = False
     bloom_buckets: int = 64
+    # pre-filter in front of the exact seen anti-join during variant
+    # expansion: 'none' | 'bloom' | 'cuckoo'. Both filters share the
+    # safety contract (the anti-join stays the authority — a filter
+    # "maybe" pays the join, a "no" is definitive), the same n_buckets
+    # partitioning, and the same commit point (the filter snapshot
+    # commits at the same round as the frontier delta, so resume sees a
+    # consistent pair). Pick 'bloom' for a grow-only seen set (smaller
+    # state); pick 'cuckoo' when entries must also be RETIRED — the
+    # sliding-window re-crawl pattern (refresh_stale / recurring
+    # ingest), where delete_cuckoo expires a window instead of
+    # rebuilding the filter. use_bloom=True is the legacy alias for
+    # seen_filter='bloom' (resolved by seen_filter_kind()).
+    seen_filter: str = "none"
+    # cuckoo table sizing: slots are allocated for this many keys per
+    # bucket partition; overfilling spills to the stash (degrades FPR
+    # and probe cost, never correctness)
+    cuckoo_expected_per_bucket: int = 100_000
     salt_n: int = 16
     extract_partitions: Optional[int] = None
     # frontier storage: 'delta' commits only the rows a round touched
@@ -130,6 +147,21 @@ class CrawlConfig:
 
 FRONTIER_TABLE = "frontier"
 HOST_TOKENS_TABLE = "host_tokens"
+# catalog table per seen-filter kind; the snapshot commits at the same
+# round_id as the frontier delta, so a resumed crawl reloads a pair
+# that was written together
+_SEEN_TABLES = {"bloom": "seen_bloom", "cuckoo": "seen_cuckoo"}
+
+
+def seen_filter_kind(cfg: CrawlConfig) -> str:
+    """Resolve the configured seen pre-filter: explicit seen_filter wins;
+    use_bloom=True is the legacy alias for 'bloom'."""
+    kind = cfg.seen_filter
+    if kind == "none" and cfg.use_bloom:
+        kind = "bloom"
+    if kind not in ("none", "bloom", "cuckoo"):
+        raise ValueError(f"seen_filter must be none|bloom|cuckoo, got {kind!r}")
+    return kind
 
 
 def load_frontier(spark: SparkSession, catalog: ParquetSnapshotCatalog) -> DataFrame:
@@ -423,10 +455,19 @@ def run_round(
         )
         cands = FR.canonicalize_candidates(cands)
         cands = FR.dedupe_batch(cands, ["_parent_seq", "_pos"])
-        bloom = None
-        if cfg.use_bloom and catalog.exists("seen_bloom"):
-            bloom = catalog.load(spark, "seen_bloom")
-        fresh = seen.dedup_new_urls(cands, new_frontier.select(*KEY), bloom, cfg.bloom_buckets)
+        filt_kind = seen_filter_kind(cfg)
+        filt_table = _SEEN_TABLES.get(filt_kind)
+        filt = (
+            catalog.load(spark, filt_table)
+            if filt_table and catalog.exists(filt_table)
+            else None
+        )
+        probe = (
+            cuckoo.cuckoo_maybe_seen if filt_kind == "cuckoo" else seen.bloom_maybe_seen
+        )
+        fresh = seen.dedup_new_urls(
+            cands, new_frontier.select(*KEY), filt, cfg.bloom_buckets, probe=probe
+        )
         discovered = FR.assign_seq(
             fresh, FR.user_offsets(new_frontier), ["_parent_seq", "_pos"]
         ).drop("_parent_seq", "_pos")
@@ -445,14 +486,22 @@ def run_round(
         metrics["discovered"] = n_discovered
         new_frontier = new_frontier.unionByName(discovered.select(*fr.columns))
         delta = delta.unionByName(discovered.select(*fr.columns))
-        if cfg.use_bloom:
-            if catalog.exists("seen_bloom"):
-                merged = seen.merge_bloom(
-                    catalog.load(spark, "seen_bloom"), discovered.select(*KEY), cfg.bloom_buckets
-                )
-            else:
+        if filt_kind != "none":
+            if filt is not None:
+                # filter state is loaded once above; only the round's
+                # discoveries fold in (touched buckets rewrite, the rest
+                # pass through)
+                merge = seen.merge_bloom if filt_kind == "bloom" else cuckoo.merge_cuckoo
+                merged = merge(filt, discovered.select(*KEY), cfg.bloom_buckets)
+            elif filt_kind == "bloom":
                 merged = seen.build_bloom(new_frontier.select(*KEY), cfg.bloom_buckets)
-            catalog.commit(merged, "seen_bloom", round_id=round_id)
+            else:
+                merged = cuckoo.build_cuckoo(
+                    new_frontier.select(*KEY),
+                    cfg.bloom_buckets,
+                    expected_per_bucket=cfg.cuckoo_expected_per_bucket,
+                )
+            catalog.commit(merged, filt_table, round_id=round_id)
 
     # delta commit = only the rows this round touched (bounded write
     # amplification); periodic base commit bounds read amplification.

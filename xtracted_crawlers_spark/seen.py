@@ -170,17 +170,22 @@ def dedup_new_urls(
     frontier_keys: DataFrame,
     bloom: DataFrame | None = None,
     n_buckets: int = 64,
+    probe=None,
 ) -> DataFrame:
-    """C2 at scale: bloom-pruned exact anti-join.
+    """C2 at scale: filter-pruned exact anti-join.
 
     candidates must carry user_id/job_id/url_id. Returns candidates that
-    are NOT in the seen set. With a bloom, only the maybe-seen slice pays
-    the anti-join shuffle; definite-new rows bypass it.
+    are NOT in the seen set. With a filter, only the maybe-seen slice pays
+    the anti-join shuffle; definite-new rows bypass it. ``probe`` picks
+    the filter kernel — bloom_maybe_seen (default) or
+    cuckoo.cuckoo_maybe_seen; both flag a ``maybe_seen`` column and share
+    the no-false-negative contract, so the anti-join stays the authority
+    either way.
     """
     if bloom is None:
         return candidates.join(frontier_keys.select("user_id", "job_id", "url_id"),
                                ["user_id", "job_id", "url_id"], "left_anti")
-    flagged = bloom_maybe_seen(candidates, bloom, n_buckets)
+    flagged = (probe or bloom_maybe_seen)(candidates, bloom, n_buckets)
     fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = suspect.join(
