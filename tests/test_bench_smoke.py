@@ -43,3 +43,19 @@ def test_bench_emits_one_json_line(tmp_path):
     assert d["kernel_ceiling_pages"] > 0
     assert d["crawl_round_urls_per_sec"] > 0
     assert d["extract_urls_per_sec"] > 0
+    # drift triage (round-4 verdict #4): field always present; checks
+    # only fire when a prior round's bench exists at the SAME sf (none
+    # at sf0.001, so this run must record an empty dict)
+    assert d["drift_checks"] == {}
+
+
+def test_previous_round_queries_sf_gated():
+    """The drift baseline comes from the NEWEST BENCH_r{N}.json at the
+    same sf; a different sf yields no baseline (no cross-sf drift
+    noise)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    prev = bench._previous_round_queries(0.1)
+    assert prev and all(isinstance(v, float) for v in prev.values())
+    assert bench._previous_round_queries(123.0) == {}
