@@ -133,6 +133,97 @@ from events
 """
 
 
+def q_crawl_expand_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 value-checked end-to-end: the expansion round's exact
+    composition from crawl.run_round (canonicalize_candidates →
+    dedupe_batch → dedup_new_urls → assign_seq over user_offsets —
+    crawl.py C3 block; reference plumbing amazon_async_product.py:58-64 +
+    context.py:183-188) on a fixed frontier + variant slice.
+
+    Frontier: one row per o_orderkey (user u{k%3}, job k%2, seq =
+    per-user rank by k). Parents (k%5==0) each emit three variants:
+    key k+6 (same user/job as frontier key k+6 when that orderkey
+    exists → seen-dedup fires data-dependently), key k-(k%60)+7
+    (parents k and k+30 share user/job and the 60-block → in-batch
+    first-wins dedup fires), and an unroutable /help/about URL (dropped
+    by canonicalize, the extractor-factory None path). Output: the
+    discovered rows with per-user seqs continuing from the committed
+    offset — the dedup/seq-offset interplay a hash-exact oracle
+    catches."""
+    from xtracted_crawlers_spark import frontier as FR
+    from xtracted_crawlers_spark import seen
+    from xtracted_crawlers_spark.frontier import KEY
+
+    u = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey")
+    base = u.select(
+        "k",
+        F.concat(F.lit("u"), (F.col("k") % 3).cast("string")).alias("user_id"),
+        (F.col("k") % 2).cast("long").alias("job_id"),
+        "url",
+    )
+    fr = FR.assign_seq(FR.canonicalize_candidates(base), None, ["k"])
+    parents = fr.filter(F.col("k") % 5 == 0)
+    variants = F.array(
+        F.struct(urlgen.url_from_key(F.col("k") + 6).alias("url")),
+        F.struct(
+            urlgen.url_from_key(F.col("k") - F.col("k") % 60 + 7).alias("url")
+        ),
+        F.struct(
+            F.concat(
+                F.lit("https://shop"),
+                F.lpad((F.col("k") % 50).cast("string"), 5, "0"),
+                F.lit(".example.test/help/about"),
+            ).alias("url")
+        ),
+    )
+    cands = parents.select(
+        "user_id",
+        "job_id",
+        F.col("job_urls_seq").alias("_parent_seq"),
+        F.posexplode(variants).alias("_pos", "_v"),
+    ).select("user_id", "job_id", "_parent_seq", "_pos", F.col("_v.url").alias("url"))
+    cands = FR.canonicalize_candidates(cands)
+    cands = FR.dedupe_batch(cands, ["_parent_seq", "_pos"])
+    fresh = seen.dedup_new_urls(cands, fr.select(*KEY))
+    discovered = FR.assign_seq(fresh, FR.user_offsets(fr), ["_parent_seq", "_pos"])
+    return discovered.select("user_id", "job_id", "url_id", "url", "job_urls_seq")
+
+
+SQL_CRAWL_EXPAND_VARIANTS = f"""
+with u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url from orders),
+fr as (select k, 'u' || cast(k % 3 as varchar) as user_id, k % 2 as job_id, url,
+              regexp_extract(url, {ASIN_RE_SQL}, 1) as url_id,
+              row_number() over (partition by 'u' || cast(k % 3 as varchar) order by k)
+                as job_urls_seq
+       from u),
+off as (select user_id, max(job_urls_seq) as max_seq from fr group by user_id),
+parents as (select * from fr where k % 5 = 0),
+cands0 as (
+  select user_id, job_id, job_urls_seq as parent_seq, 0 as pos,
+         {sql_url_from_key('k + 6')} as url from parents
+  union all
+  select user_id, job_id, job_urls_seq, 1,
+         {sql_url_from_key('k - (k % 60) + 7')} from parents
+  union all
+  select user_id, job_id, job_urls_seq, 2,
+         'https://shop' || lpad(cast(k % 50 as varchar), 5, '0')
+           || '.example.test/help/about' from parents
+),
+c as (select *, regexp_extract(url, {ASIN_RE_SQL}, 1) as url_id
+      from cands0 where regexp_matches(url, {ASIN_RE_SQL})),
+d as (select * from (
+        select *, row_number() over (partition by user_id, job_id, url_id
+                                     order by parent_seq, pos) as rn from c)
+      where rn = 1),
+new as (select d.* from d anti join fr
+        on d.user_id = fr.user_id and d.job_id = fr.job_id and d.url_id = fr.url_id)
+select n.user_id, n.job_id, n.url_id, n.url,
+       row_number() over (partition by n.user_id order by parent_seq, pos)
+         + coalesce(o.max_seq, 0) as job_urls_seq
+from new n left join off o on n.user_id = o.user_id
+"""
+
+
 def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the frontier side scales with the dataset — the
     # engine's own fetch join gates its hint on a counted size
@@ -2992,6 +3083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pool rotates forward each round so union-over-rounds covers all.
     """
     return {
+        # -- NEW this round (policy rule 1) ------------------------------
+        "crawl_expand_variants": q_crawl_expand_variants,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3076,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_dedup_antijoin": SQL_CRAWL_DEDUP_ANTIJOIN,
         "crawl_topk_per_host": SQL_CRAWL_TOPK_PER_HOST,
         "crawl_seq_assign": SQL_CRAWL_SEQ_ASSIGN,
+        "crawl_expand_variants": SQL_CRAWL_EXPAND_VARIANTS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
