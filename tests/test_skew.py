@@ -110,3 +110,91 @@ def test_all_pairs_baselines_refuse_big_inputs(spark):
     with pytest.raises(ValueError, match="near_dup_pairs_lsh"):
         similarity.near_dup_pairs(emb, guard_rows=10)
     similarity.near_dup_pairs(emb, guard_rows=None).count()
+
+
+# --- fair_users under tenant skew (round-4 verdict #7) ----------------------
+
+
+def test_fair_users_mega_tenant_host_window_still_group_limits(spark):
+    """90%-one-user frontier: in fair mode the HOST rank window (the one
+    carrying the literal cap) must still run as a Partial
+    WindowGroupLimit below its exchange, so each map task forwards only
+    its per-host top-K even though a per-user position window runs
+    upstream. Timing sanity: the mega-tenant sort must complete well
+    inside a round at 50k rows / 32 threads."""
+    import time
+
+    from xtracted_crawlers_spark import plans
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit("mega")).otherwise(
+            F.concat(F.lit("t"), (F.col("id") % 97).cast("string"))
+        ).alias("user_id"),
+        (F.col("id") % 3).cast("long").alias("job_id"),
+        F.concat(F.lit("B0"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("url_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 200).cast("string"),
+            F.lit(".test/dp/B0"), F.lpad(F.col("id").cast("string"), 8, "0"),
+        ).alias("url"),
+        F.lit(0).alias("priority"),
+        (F.col("id") + 1).alias("job_urls_seq"),
+        F.concat(F.lit("h"), (F.col("id") % 200).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+    )
+    out = scheduler.select_round(df, global_budget=100, fair_users=True)
+    plan = plans.physical_plan(out)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    t0 = time.time()
+    rows = out.collect()
+    dt = time.time() - t0
+    assert len(rows) == 100
+    assert dt < 120, f"fair-mode selection took {dt:.1f}s at 50k rows"
+    # round-robin actually interleaves: the mega tenant cannot take the
+    # whole cut while 96 small tenants have pending rows
+    by_user = {}
+    for r in rows:
+        by_user[r["user_id"]] = by_user.get(r["user_id"], 0) + 1
+    assert by_user.get("mega", 0) < 20, by_user.get("mega")
+
+
+def test_fair_users_user_position_window_cap_would_be_unsound(spark):
+    """Regression guard for a tempting-but-WRONG optimization: filtering
+    `_user_pos <= global_budget` (the host window's literal-cap trick
+    applied to the per-user position window) changes results. A row with
+    _user_pos > global_budget CAN be selected when the user's earlier
+    rows die in other hosts' budget cuts:
+
+      budgets: h1=0, h2=1; global_budget=1
+      user a: a1@h1 (pos 1), a2@h2 (pos 2)
+      user b: b1@h1 (pos 1), b2@h2 (pos 2)
+
+    h1's budget-0 cut kills both pos-1 rows; h2's window orders (a2, b2)
+    by the user_id tie-break, budget 1 keeps a2; the global cut selects
+    a2 — whose _user_pos is 2 > global_budget. A pos<=1 pre-filter
+    would have dropped it and selected NOTHING. This pins select_round
+    to the full per-user window: the user window must stay uncapped
+    (docstring of select_round documents the proof)."""
+    rows = [
+        ("a", 1, "B0AAAAAAA1", "https://h1.test/dp/B0AAAAAAA1", 0, 1),
+        ("a", 1, "B0AAAAAAA2", "https://h2.test/dp/B0AAAAAAA2", 0, 2),
+        ("b", 1, "B0BBBBBBB1", "https://h1.test/dp/B0BBBBBBB1", 0, 1),
+        ("b", 1, "B0BBBBBBB2", "https://h2.test/dp/B0BBBBBBB2", 0, 2),
+    ]
+    sel = spark.createDataFrame(
+        rows,
+        "user_id string, job_id long, url_id string, url string,"
+        " priority int, job_urls_seq long",
+    )
+    budgets = spark.createDataFrame(
+        [("h1.test", 0), ("h2.test", 1)], "host string, budget long"
+    )
+    sel = sel.withColumn("host", F.lit(None).cast("string")).drop("host")
+    from xtracted_crawlers_spark import urlnorm
+
+    sel = sel.withColumn("host", urlnorm.host(F.col("url")))
+    got = scheduler.select_round(
+        sel, budgets=budgets, global_budget=1, fair_users=True
+    ).collect()
+    assert [(r["user_id"], r["url_id"]) for r in got] == [("a", "B0AAAAAAA2")]

@@ -418,7 +418,24 @@ def select_round(
     global_budget same-host rows precede it in crawl order, so the
     global cut excludes it regardless of host budgets) and for
     max_host_budget when the caller knows an upper bound on every
-    per-host budget (e.g. max crawl-rate × round_seconds fleet-wide)."""
+    per-host budget (e.g. max crawl-rate × round_seconds fleet-wide).
+
+    The per-user position window deliberately carries NO such cap: a
+    literal ``_user_pos <= global_budget`` filter is UNSOUND, unlike the
+    host-rank cap. The host cap is sound because a row's same-host
+    predecessors survive the (per-host-constant) budget cut whenever the
+    row itself does; a user's predecessors span OTHER hosts with other
+    budgets, so they can all die in their own host cuts and the global
+    cut then reaches a row whose _user_pos exceeds global_budget
+    (budgets h1=0,h2=1, G=1, users a/b each with pos-1@h1, pos-2@h2 ⇒
+    a's pos-2 row is selected — pinned by
+    tests/test_skew.py::test_fair_users_user_position_window_cap_would_be_unsound).
+    Compacting positions post-cut is equally out: positions are defined
+    over the full gated set (oracle + simulator), and compaction changes
+    the cross-user interleave at the cut boundary. A mega-tenant
+    therefore pays one full sort of its partition here; the sort spills
+    rather than breaking, and the host window downstream still
+    group-limits."""
     gated = apply_robots_gate(selectable, rules)
     # full tie-break (user_id, job_id, url_id) — two users can share a
     # (priority, seq) pair; the schedule must be deterministic for parity
