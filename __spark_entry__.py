@@ -224,6 +224,78 @@ from new n left join off o on n.user_id = o.user_id
 """
 
 
+def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (operators/traps.py; Mercator WWW'99 §3)
+    value-checked over a synthesized URL space with all three trap
+    shapes: hosts 0-7 serve calendar paths ('/cal' + '/2024/01' repeated
+    1+k%6 times — segment-repetition and depth loops), hosts 8-15 serve
+    one path under per-key session-id queries (the parameter-explosion
+    shape), the rest serve the normal product URL space (must NOT
+    flag). Output: the per-host rollup + is_trap verdict."""
+    from xtracted_crawlers_spark.operators import traps
+
+    k = F.col("o_orderkey").cast("long")
+    hn = k % 50
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://shop"),
+            F.lpad(hn.cast("string"), 5, "0"),
+            F.lit(".example.test"),
+            F.when(
+                hn < 8,
+                F.concat(
+                    F.lit("/cal"),
+                    F.repeat(F.lit("/2024/01"), (F.lit(1) + k % 6).cast("int")),
+                ),
+            )
+            .when(hn < 16, F.concat(F.lit("/p?sid="), F.md5(k.cast("string"))))
+            .otherwise(
+                F.concat(
+                    F.lit("/dp/B0"),
+                    F.upper(F.substring(F.md5(k.cast("string")), 1, 8)),
+                    F.when(k % 3 == 0, F.lit("?ref=x")).otherwise(F.lit("")),
+                )
+            ),
+        ).alias("url")
+    )
+    return traps.trap_hosts(urls)
+
+
+SQL_CRAWL_TRAP_HOSTS = f"""
+with u as (select o_orderkey as k, o_orderkey % 50 as hn from orders),
+urls as (select k,
+  'https://shop' || lpad(cast(hn as varchar), 5, '0') || '.example.test' ||
+  case when hn < 8 then '/cal' || repeat('/2024/01', cast(1 + k % 6 as int))
+       when hn < 16 then '/p?sid=' || md5(cast(k as varchar))
+       else '/dp/B0' || upper(substr(md5(cast(k as varchar)), 1, 8))
+            || case when k % 3 = 0 then '?ref=x' else '' end
+  end as url from u),
+feat as (select
+    lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+    regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) as path,
+    strpos(url, '?') > 0 as has_query
+  from urls),
+seg as (select *,
+    len(list_filter(string_split(path, '/'), s -> s <> '')) as depth,
+    len(list_distinct(list_filter(string_split(path, '/'), s -> s <> ''))) as dist
+  from feat),
+f as (select host, path, has_query, depth,
+    case when depth = 0 then 0 else depth - dist + 1 end as seg_repeat
+  from seg),
+agg as (select host,
+    count(*) as n_urls,
+    count(distinct path) as n_paths,
+    cast(max(depth) as integer) as max_depth,
+    cast(sum(case when seg_repeat >= 3 or depth > 8 then 1 else 0 end) as bigint)
+      as n_looping,
+    cast(sum(case when has_query then 1 else 0 end) as bigint) as n_query
+  from f group by host)
+select host, n_urls, n_paths, max_depth, n_looping, n_query,
+  (n_looping > 0 or (n_urls >= 3 * n_paths and n_query * 2 >= n_urls)) as is_trap
+from agg
+"""
+
+
 def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the frontier side scales with the dataset — the
     # engine's own fetch join gates its hint on a counted size
@@ -3085,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW this round (policy rule 1) ------------------------------
         "crawl_expand_variants": q_crawl_expand_variants,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3170,6 +3243,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_topk_per_host": SQL_CRAWL_TOPK_PER_HOST,
         "crawl_seq_assign": SQL_CRAWL_SEQ_ASSIGN,
         "crawl_expand_variants": SQL_CRAWL_EXPAND_VARIANTS,
+        "crawl_trap_hosts": SQL_CRAWL_TRAP_HOSTS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

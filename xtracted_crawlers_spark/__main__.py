@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         " or cuckoo (supports expiry deletes for sliding-window re-crawl);"
         " --use-bloom is the legacy alias for bloom",
     )
+    c.add_argument(
+        "--trap-quarantine",
+        action="store_true",
+        help="drop crawl-trap hosts (calendar loops, session-id explosions)"
+        " from each round's selection — for expanding frontiers",
+    )
     c.add_argument("--storage", choices=["delta", "full"], default="delta")
     c.add_argument("--master", default=None)
     c.add_argument(
@@ -362,6 +368,7 @@ def main(argv: list[str] | None = None) -> int:
         expand_variants=args.expand_variants,
         use_bloom=args.use_bloom,
         seen_filter=args.seen_filter,
+        trap_quarantine=args.trap_quarantine,
         frontier_storage=args.storage,
         sitemap_seeds=(
             [u for u in args.sitemap_seeds.split(",") if u] if args.sitemap_seeds else None

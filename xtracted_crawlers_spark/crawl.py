@@ -83,6 +83,12 @@ class CrawlConfig:
     # bucket partition; overfilling spills to the stash (degrades FPR
     # and probe cost, never correctness)
     cuckoo_expected_per_bucket: int = 100_000
+    # quarantine crawl-trap hosts (calendar loops, session-id
+    # explosions — operators/traps.py) from each round's selection.
+    # Off by default: the reference's frontier is a bounded submitted
+    # list; turn on for expanding frontiers (expand_variants / sitemap
+    # ingest), where one trap host can eat the politeness budget.
+    trap_quarantine: bool = False
     salt_n: int = 16
     extract_partitions: Optional[int] = None
     # frontier storage: 'delta' commits only the rows a round touched
@@ -312,8 +318,19 @@ def run_round(
             rules, state, cfg.round_seconds, cfg.burst_rounds
         )
 
+    eligible = FR.selectable(fr)
+    if cfg.trap_quarantine:
+        # trap gate (operators/traps.py): detect trap hosts over the
+        # WHOLE frontier (discovered URLs included — that's where traps
+        # enter via expansion/sitemap ingest) and anti-join the flagged
+        # hosts out of this round's eligible set. One extra aggregation
+        # pass over the frontier per round; the verdict table is one row
+        # per host, broadcast into the anti-join.
+        from .operators import traps as traps_mod
+
+        eligible = traps_mod.quarantine(eligible, traps_mod.trap_hosts(fr))
     sel = scheduler.select_round(
-        FR.selectable(fr),
+        eligible,
         rules=rules,
         round_seconds=cfg.round_seconds,
         default_budget=cfg.default_budget,
