@@ -1859,6 +1859,102 @@ from stats
 """
 
 
+def q_text_gopher_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-level quality rules (Rae et al. 2021 Table A1 — the
+    non-repetition half; the repetition half is text_repetition):
+    word-count band, mean-word-length band, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, stopword
+    presence. The fixture amplifies the documents table so every rule
+    fires both ways: doc_id%3 injects the Gopher stop set, %4 bullet
+    lines, %5 ellipsis teasers, %7 '#' runs, %11 numeric-word runs.
+    All-integer thresholds — hash-exact against the DuckDB mirror."""
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit(" to be of and that have with")).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.lit("\n- bullet one\n- bullet two\n- bullet three\n- bullet four"),
+        ).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("\nteaser one...\nteaser two...\nread more…")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            i % 7 == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), (1 + i % 9).cast("int")))
+        ).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.concat(F.lit(" "), F.repeat(F.lit("12345678901 "), 4))).otherwise(
+            F.lit("")
+        ),
+    )
+    stats = textops.gopher_word_stats(t)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        *[c.alias(n) for n, c in stats.items()],
+        textops.gopher_word_keep(t).alias("keep"),
+    )
+
+
+_SQL_GOPHER_FIXTURE = (
+    "text"
+    " || case when doc_id % 3 = 0 then ' to be of and that have with' else '' end"
+    " || case when doc_id % 4 = 0 then chr(10) || '- bullet one' || chr(10) ||"
+    " '- bullet two' || chr(10) || '- bullet three' || chr(10) || '- bullet four'"
+    " else '' end"
+    " || case when doc_id % 5 = 0 then chr(10) || 'teaser one...' || chr(10) ||"
+    " 'teaser two...' || chr(10) || 'read more…' else '' end"
+    " || case when doc_id % 7 = 0 then ' ' || repeat('# ', cast(1 + doc_id % 9 as int))"
+    " else '' end"
+    " || case when doc_id % 11 = 0 then ' ' || repeat('12345678901 ', 4) else '' end"
+)
+
+SQL_TEXT_GOPHER_WORDS = f"""
+with d as (select doc_id, {_SQL_GOPHER_FIXTURE} as t from documents),
+w as (select doc_id, t,
+        case when length(trim(t)) = 0 then []::varchar[]
+             else string_split_regex(trim(t), '\\s+') end as ws
+      from d),
+l as (select doc_id,
+        list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                    x -> x <> '') as lines
+      from d),
+stats as (select w.doc_id,
+    cast(len(ws) as integer) as wc,
+    cast(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) as integer)
+      as word_chars,
+    cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) as integer)
+      as alpha_words,
+    cast((length(t) - length(replace(t, '#', ''))) as integer)
+      + cast((length(t) - length(replace(t, '...', ''))) / 3 as integer)
+      + cast((length(t) - length(replace(t, '…', ''))) as integer) as symbol_cnt,
+    cast(len(lines) as integer) as n_lines,
+    cast(len(list_filter(lines, x -> x[1:1] in ('-', '*', '•'))) as integer)
+      as bullet_lines,
+    cast(len(list_filter(lines, x -> x like '%...' or x like '%…')) as integer)
+      as ellipsis_lines,
+    cast(
+      cast(list_contains(list_transform(ws, x -> lower(x)), 'the') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'be') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'to') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'of') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'and') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'that') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'have') as int)
+      + cast(list_contains(list_transform(ws, x -> lower(x)), 'with') as int)
+      as integer) as stop_hits
+  from w join l on w.doc_id = l.doc_id)
+select doc_id, wc, word_chars, alpha_words, symbol_cnt, n_lines, bullet_lines,
+       ellipsis_lines, stop_hits,
+       (wc between 50 and 100000
+        and 3 * wc <= word_chars and word_chars <= 10 * wc
+        and 10 * symbol_cnt <= wc
+        and 10 * bullet_lines <= n_lines
+        and 10 * ellipsis_lines <= 3 * n_lines
+        and 5 * alpha_words >= 4 * wc
+        and stop_hits >= 2) as keep
+from stats
+"""
+
+
 def _line_dedup_fixture(d: DataFrame) -> DataFrame:
     """Line-structured corpus with guaranteed cross-doc duplicate lines:
     ' merge ' occurrences become line breaks (as in text_repetition) and
@@ -3158,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this round (policy rule 1) ------------------------------
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
+        "text_gopher_words": q_text_gopher_words,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3244,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seq_assign": SQL_CRAWL_SEQ_ASSIGN,
         "crawl_expand_variants": SQL_CRAWL_EXPAND_VARIANTS,
         "crawl_trap_hosts": SQL_CRAWL_TRAP_HOSTS,
+        "text_gopher_words": SQL_TEXT_GOPHER_WORDS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

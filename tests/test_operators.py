@@ -4,7 +4,7 @@ contract: multimodal plumbing, ANN recall, dedup plan shape."""
 import pytest
 from pyspark.sql import functions as F
 
-from xtracted_crawlers_spark.operators import dedup, multimodal, similarity
+from xtracted_crawlers_spark.operators import dedup, multimodal, similarity, textops
 
 
 def test_media_features_deterministic(spark):
@@ -660,3 +660,42 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     assert (2, 1) not in cont           # direction matters
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)  # jaccard misses it
+
+
+def test_gopher_word_rules_each_rule_fires(spark):
+    """Each Gopher word rule (Rae et al. 2021 Table A1) flips keep on
+    its own minimal violation; the base document passes all rules."""
+    base = ("the quick brown fox jumps over that lazy dog and we have "
+            "been to many of those places with great delight indeed " * 5)
+    cases = {
+        "pass": (base, True),
+        "too_short": ("the and of to be that have with words here", False),
+        "mean_len_low": (base + " " + "a b c d e f g h i j " * 40, False),
+        "symbols": (base + " " + "# " * 40, False),
+        "bullets": (base + "\n- one\n- two\n- three\n- four\n- five", False),
+        "ellipsis": ("\n".join([base, "x...", "y...", "z..."]), False),
+        "non_alpha": (base + " " + "12345 " * 150, False),
+        "no_stops": (
+            "quick brown fox jumps high above every fence here today " * 10,
+            False,
+        ),
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _) in cases.items()], "name string, text string"
+    )
+    got = {
+        r["name"]: r["keep"]
+        for r in df.select(
+            "name", textops.gopher_word_keep(F.col("text")).alias("keep")
+        ).collect()
+    }
+    for name, (_, want) in cases.items():
+        assert got[name] is want, name
+    # the stats are pure projections — no shuffle, no Python
+    from xtracted_crawlers_spark import plans
+
+    out = df.select(
+        "name", *[c.alias(n) for n, c in textops.gopher_word_stats(F.col("text")).items()]
+    )
+    assert plans.python_eval_nodes(out) == []
+    assert "Exchange" not in plans.physical_plan(out)

@@ -312,3 +312,62 @@ def gopher_keep(
         & (dup_line_char_frac(text) <= max_dup_line_char_frac)
         & (top_bigram_char_frac(text) <= max_top_bigram_char_frac)
     )
+
+
+# Gopher word-level quality rules (Rae et al. 2021, "Scaling Language
+# Models: ...Gopher", Table A1) — the non-repetition half of the Gopher
+# filter (the repetition half is gopher_keep above). All thresholds are
+# applied as INTEGER cross-multiplications (10*symbols <= words instead
+# of symbols/words <= 0.1), so the DuckDB oracle reproduces every flag
+# byte-for-byte with no float-division drift.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_word_stats(text: Column) -> dict[str, Column]:
+    """Per-document counters the Gopher word rules gate on — all
+    map-only array/string expressions (no UDF, no shuffle):
+    wc, word_chars, alpha_words, symbol_cnt ('#' + '...' + '…'),
+    n_lines, bullet_lines ('-'/'*'/'•' starts), ellipsis_lines
+    ('...'/'…' ends), stop_hits (distinct Gopher stopwords present)."""
+    words = _words_array(text)
+    lower = F.transform(words, lambda x: F.lower(x))
+    lines = _nonblank_lines(text)
+    return {
+        "wc": F.size(words),
+        "word_chars": F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)),
+        "alpha_words": F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))),
+        "symbol_cnt": occurrences(text, "#")
+        + occurrences(text, "...")
+        + occurrences(text, "…"),
+        "n_lines": F.size(lines),
+        "bullet_lines": F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+            )
+        ),
+        "ellipsis_lines": F.size(
+            F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+        ),
+        "stop_hits": sum_cols(
+            [F.array_contains(lower, w).cast("int") for w in GOPHER_STOPS]
+        ),
+    }
+
+
+def gopher_word_keep(text: Column) -> Column:
+    """True = document survives the Gopher word rules: 50 <= words <=
+    100k; mean word length in [3,10]; symbol-to-word ratio <= 0.1;
+    <=10% bullet-start lines; <=30% ellipsis-end lines; >=80% words
+    with an alphabetic character; >=2 Gopher stopwords present."""
+    s = gopher_word_stats(text)
+    return (
+        s["wc"].between(50, 100_000)
+        & (3 * s["wc"] <= s["word_chars"])
+        & (s["word_chars"] <= 10 * s["wc"])
+        & (10 * s["symbol_cnt"] <= s["wc"])
+        & (10 * s["bullet_lines"] <= s["n_lines"])
+        & (10 * s["ellipsis_lines"] <= 3 * s["n_lines"])
+        & (5 * s["alpha_words"] >= 4 * s["wc"])
+        & (s["stop_hits"] >= 2)
+    )
