@@ -296,6 +296,72 @@ from agg
 """
 
 
+def q_crawl_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) politeness grouping value-checked:
+    urlnorm.registrable_domain over a host space exercising every rule —
+    www/img/cdn subdomains, multi-label public suffixes (example.test,
+    co.uk, com.au), the default last-two-labels rule (.de), port
+    stripping, and IPv4 passthrough. Output: per-domain URL and distinct
+    host counts — the table per-domain token buckets would key on
+    (shard1.example.co.uk and shard2.example.co.uk are ONE crawl
+    target)."""
+    k = F.col("o_orderkey").cast("long")
+    base = F.concat(F.lit("shop"), (k % 50).cast("string"))
+    host = (
+        F.when(k % 5 == 0, F.concat(F.lit("www."), base, F.lit(".example.test")))
+        .when(
+            k % 5 == 1,
+            F.concat(F.lit("img"), (k % 7).cast("string"), F.lit("."), base, F.lit(".co.uk")),
+        )
+        .when(k % 5 == 2, F.concat(base, F.lit(".com.au")))
+        .when(
+            k % 5 == 3,
+            F.concat(
+                F.lit("cdn."), base, F.lit(".de"),
+                F.when(k % 2 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            ),
+        )
+        .otherwise(F.concat(F.lit("10.0.0."), (k % 9).cast("string")))
+    )
+    hosts = _t(spark, sf_dir, "orders").select(host.alias("host"))
+    return (
+        hosts.groupBy(urlnorm.registrable_domain(F.col("host")).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+_SUFFIX_SQL = ", ".join(f"'{s}'" for s in urlnorm.MULTI_SUFFIXES)
+
+SQL_CRAWL_DOMAIN_ROLLUP = f"""
+with u as (select o_orderkey as k, 'shop' || cast(o_orderkey % 50 as varchar) as b
+           from orders),
+hosts as (select case
+    when k % 5 = 0 then 'www.' || b || '.example.test'
+    when k % 5 = 1 then 'img' || cast(k % 7 as varchar) || '.' || b || '.co.uk'
+    when k % 5 = 2 then b || '.com.au'
+    when k % 5 = 3 then 'cdn.' || b || '.de'
+                        || case when k % 2 = 0 then ':8443' else '' end
+    else '10.0.0.' || cast(k % 9 as varchar) end as host from u),
+dom as (select host,
+    case
+      when regexp_matches(h, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') or len(ls) <= 2 then h
+      when array_to_string(ls[greatest(len(ls)-1, 1):], '.') in ({_SUFFIX_SQL})
+        then case when len(ls) >= 3
+                  then array_to_string(ls[greatest(len(ls)-2, 1):], '.')
+                  else h end
+      else array_to_string(ls[greatest(len(ls)-1, 1):], '.')
+    end as domain
+  from (select host, string_split(lower(host), ':')[1] as h,
+               string_split(string_split(lower(host), ':')[1], '.') as ls
+        from hosts))
+select domain, count(*) as n_urls, count(distinct host) as n_hosts
+from dom group by domain
+"""
+
+
 def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the frontier side scales with the dataset — the
     # engine's own fetch join gates its hint on a counted size
@@ -3255,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
+        "crawl_domain_rollup": q_crawl_domain_rollup,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3342,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_expand_variants": SQL_CRAWL_EXPAND_VARIANTS,
         "crawl_trap_hosts": SQL_CRAWL_TRAP_HOSTS,
         "text_gopher_words": SQL_TEXT_GOPHER_WORDS,
+        "crawl_domain_rollup": SQL_CRAWL_DOMAIN_ROLLUP,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -84,3 +84,59 @@ def test_seen_key_is_stable_and_query_insensitive(spark):
     ks = [r["k"] for r in df.collect()]
     assert ks[0] == ks[1]  # same identity despite query
     assert ks[0] != ks[2]  # different job ⇒ different key
+
+
+def test_registrable_domain_rules(spark):
+    """Each eTLD+1 rule: multi-label suffix -> last 3 labels, default ->
+    last 2, too-few-labels and IPv4 pass through, port stripped,
+    case-normalized."""
+    cases = {
+        "www.shop1.example.test": "shop1.example.test",
+        "a.b.shop.co.uk": "shop.co.uk",
+        "shop.com.au": "shop.com.au",
+        "cdn.shop.de": "shop.de",
+        "cdn.shop.de:8443": "shop.de",
+        "shop.de": "shop.de",
+        "localhost": "localhost",
+        "CO.UK": "co.uk",          # bare suffix: too few labels to split
+        "10.0.0.7": "10.0.0.7",
+        "WWW.Shop.Example.TEST": "shop.example.test",
+    }
+    from xtracted_crawlers_spark import urlnorm
+
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", urlnorm.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h, want in cases.items():
+        assert got[h] == want, (h, got[h])
+        assert urlnorm.py_registrable_domain(h) == want, h
+
+
+def test_registrable_domain_engine_matches_py_twin_fuzz(spark):
+    import random
+
+    from xtracted_crawlers_spark import urlnorm
+
+    rnd = random.Random(777)
+    labels = ["www", "a", "b9", "shop", "x-y", "co", "com", "uk", "au",
+              "de", "test", "example", "10", "0"]
+    hosts = []
+    for _ in range(300):
+        n = rnd.randint(1, 5)
+        h = ".".join(rnd.choice(labels) for _ in range(n))
+        if rnd.random() < 0.2:
+            h += f":{rnd.randint(1, 65535)}"
+        hosts.append(h)
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", urlnorm.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == urlnorm.py_registrable_domain(h), h

@@ -65,6 +65,50 @@ def host(url: Column | str) -> Column:
     return F.lower(netloc(url))
 
 
+# Multi-label public suffixes for registrable-domain extraction. The
+# full Mozilla Public Suffix List is ~10k entries and version-churns;
+# politeness grouping needs only the high-traffic multi-label country
+# suffixes — a host under an UNLISTED multi-label suffix degrades to a
+# *finer* grouping (more domains, politer), never a coarser one, so the
+# subset errs on the safe side. Single-label TLDs need no list: the
+# default rule (registrable = last two labels) covers them.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "co.nz", "net.nz", "org.nz", "co.za", "org.za",
+    "com.pl", "com.ru", "com.ua", "co.il", "co.th", "co.id",
+    "example.test",  # the synthetic corpus' own 2-label suffix
+)
+
+
+def registrable_domain(host_col: Column | str) -> Column:
+    """eTLD+1 of a (lowercased) host — the "per-domain" in per-domain
+    politeness: shard1.example.co.uk and shard2.example.co.uk are ONE
+    crawl target (one robots scope, one token bucket), so budgets keyed
+    on raw host would over-crawl multi-subdomain sites. Rule: last two
+    labels, or last three when the last two are a listed multi-label
+    public suffix (MULTI_SUFFIXES); hosts with too few labels and IPv4
+    literals pass through unchanged. Pure split/slice expressions —
+    codegen, no UDF; the port (never part of the PSL) is stripped."""
+    h = F.lower(F.col(host_col) if isinstance(host_col, str) else host_col)
+    h = F.split(h, ":")[0]  # strip port
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
+    is_ipv4 = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    return (
+        F.when(is_ipv4 | (n <= 2), h)
+        .when(last2.isin(*MULTI_SUFFIXES), F.when(n >= 3, last3).otherwise(h))
+        .otherwise(last2)
+    )
+
+
 def root_url(url: Column | str) -> Column:
     """scheme://netloc when scheme startswith http, else NULL."""
     proto = F.try_parse_url(url, F.lit("PROTOCOL"))
@@ -134,6 +178,21 @@ def py_url_type(url: str) -> Optional[str]:
 
 def py_host(url: str) -> str:
     return urlparse(url).netloc.lower()
+
+
+def py_registrable_domain(host: str) -> str:
+    """Twin of registrable_domain (tests/fuzz only)."""
+    import re
+
+    h = host.lower().split(":")[0]
+    if re.fullmatch(r"\d+\.\d+\.\d+\.\d+", h):
+        return h
+    labels = h.split(".")
+    if len(labels) <= 2:
+        return h
+    if ".".join(labels[-2:]) in MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
 
 
 def py_surt_key(url: str) -> str:
