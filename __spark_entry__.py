@@ -335,6 +335,21 @@ def q_crawl_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUFFIX_SQL = ", ".join(f"'{s}'" for s in urlnorm.MULTI_SUFFIXES)
 
+# DuckDB twin of urlnorm.registrable_domain, as a CTE body: expects a
+# relation exposing a `host` column, adds `domain`.
+_SQL_DOMAIN_BODY = f"""select * exclude (h, ls),
+    case
+      when regexp_matches(h, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') or len(ls) <= 2 then h
+      when array_to_string(ls[greatest(len(ls)-1, 1):], '.') in ({_SUFFIX_SQL})
+        then case when len(ls) >= 3
+                  then array_to_string(ls[greatest(len(ls)-2, 1):], '.')
+                  else h end
+      else array_to_string(ls[greatest(len(ls)-1, 1):], '.')
+    end as domain
+  from (select *, string_split(lower(host), ':')[1] as h,
+               string_split(string_split(lower(host), ':')[1], '.') as ls
+        from {{src}})"""
+
 SQL_CRAWL_DOMAIN_ROLLUP = f"""
 with u as (select o_orderkey as k, 'shop' || cast(o_orderkey % 50 as varchar) as b
            from orders),
@@ -345,20 +360,72 @@ hosts as (select case
     when k % 5 = 3 then 'cdn.' || b || '.de'
                         || case when k % 2 = 0 then ':8443' else '' end
     else '10.0.0.' || cast(k % 9 as varchar) end as host from u),
-dom as (select host,
-    case
-      when regexp_matches(h, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') or len(ls) <= 2 then h
-      when array_to_string(ls[greatest(len(ls)-1, 1):], '.') in ({_SUFFIX_SQL})
-        then case when len(ls) >= 3
-                  then array_to_string(ls[greatest(len(ls)-2, 1):], '.')
-                  else h end
-      else array_to_string(ls[greatest(len(ls)-1, 1):], '.')
-    end as domain
-  from (select host, string_split(lower(host), ':')[1] as h,
-               string_split(string_split(lower(host), ':')[1], '.') as ls
-        from hosts))
+dom as ({_SQL_DOMAIN_BODY.format(src='hosts')})
 select domain, count(*) as n_urls, count(distinct host) as n_hosts
 from dom group by domain
+"""
+
+
+def q_crawl_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain politeness budget value-checked through the engine's
+    scheduler.select_round(domain_budget=6, default_budget=4): 10
+    registrable domains × 3 subdomain hosts each; the host cut keeps 4
+    rows/host in crawl order (12 candidates/domain), the domain window
+    then keeps the first 6 per eTLD+1 — subdomain sharding cannot
+    multiply a site's crawl rate. Output: the selected rows."""
+    from pyspark.sql import Window
+
+    from xtracted_crawlers_spark import scheduler
+
+    k = F.col("o_orderkey").cast("long")
+    base = _t(spark, sf_dir, "orders").select(
+        k.alias("k"),
+        F.concat(F.lit("u"), (k % 2).cast("string")).alias("user_id"),
+        F.lit(1).cast("long").alias("job_id"),
+        F.upper(F.substring(F.md5(k.cast("string")), 1, 8)).alias("h8"),
+        F.concat(
+            F.lit("w"), (k % 3).cast("string"),
+            F.lit(".shop"), (k % 10).cast("string"),
+            F.lit(".example.test"),
+        ).alias("host"),
+        F.lit(0).alias("priority"),
+    )
+    sel = base.select(
+        "k", "user_id", "job_id", "host", "priority",
+        F.concat(F.lit("B0"), F.col("h8")).alias("url_id"),
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/dp/B0"), F.col("h8")
+        ).alias("url"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("k"))
+        .cast("long")
+        .alias("job_urls_seq"),
+    ).drop("k")
+    out = scheduler.select_round(sel, default_budget=4, domain_budget=6)
+    return out.select("user_id", "job_id", "url_id", "host", "job_urls_seq")
+
+
+SQL_CRAWL_DOMAIN_BUDGET = f"""
+with u as (select o_orderkey as k, 'u' || cast(o_orderkey % 2 as varchar) as user_id,
+                  cast(1 as bigint) as job_id,
+                  upper(substr(md5(cast(o_orderkey as varchar)), 1, 8)) as h8,
+                  'w' || cast(o_orderkey % 3 as varchar) || '.shop'
+                    || cast(o_orderkey % 10 as varchar) || '.example.test' as host,
+                  0 as priority
+           from orders),
+sel as (select user_id, job_id, host, priority, 'B0' || h8 as url_id,
+               row_number() over (partition by user_id order by k) as job_urls_seq
+        from u),
+hr as (select *, row_number() over (partition by host
+         order by priority, job_urls_seq, user_id, job_id, url_id) as _hr
+       from sel),
+hc as (select * exclude (_hr) from hr where _hr <= 4),
+dom as ({_SQL_DOMAIN_BODY.format(src='hc')}),
+dr as (select *, row_number() over (partition by domain
+         order by priority, job_urls_seq, user_id, job_id, url_id) as _dr
+       from dom)
+select user_id, job_id, url_id, host, job_urls_seq
+from dr where _dr <= 6
 """
 
 
@@ -3322,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
         "crawl_domain_rollup": q_crawl_domain_rollup,
+        "crawl_domain_budget": q_crawl_domain_budget,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3410,6 +3478,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trap_hosts": SQL_CRAWL_TRAP_HOSTS,
         "text_gopher_words": SQL_TEXT_GOPHER_WORDS,
         "crawl_domain_rollup": SQL_CRAWL_DOMAIN_ROLLUP,
+        "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -563,3 +563,63 @@ def test_robots_gate_percent_fuzz_engine_matches_twin(spark):
             [scheduler.decode_robots_octets(p) for p in alw],
         )
         assert (f"f{i}.test" not in kept) is want, (dis, alw, path)
+
+
+def test_domain_budget_parity_with_simulator(spark, tmp_path):
+    """CrawlConfig.domain_budget: the engine's crawl under a per-eTLD+1
+    cap ends byte-identical to the simulator twin — subdomain sharding
+    (w0/w1/w2.shopN.example.test) cannot multiply a site's crawl rate."""
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, load_frontier, run_crawl
+    from xtracted_crawlers_spark.simulator import ReferenceSimulator
+
+    seeds = [
+        ("u", 1, i, f"https://w{i % 3}.shop{i % 4}.example.test/dp/B0{i:08d}")
+        for i in range(48)
+    ]
+    sdf = spark.createDataFrame(
+        seeds, "user_id string, job_id long, seed_idx int, url string"
+    )
+    pages = spark.createDataFrame([], "url string, html binary, text string")
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=2, default_budget=4, domain_budget=6)
+    run_crawl(spark, cat, pages, sdf, cfg=cfg)
+    eng = {r["url_id"]: r for r in load_frontier(spark, cat).collect()}
+
+    sim = ReferenceSimulator({}, default_budget=4, domain_budget=6)
+    sim.submit("u", 1, [u for (_, _, _, u) in seeds])
+    sim.run(max_rounds=2)
+    srows = {r["url_id"]: r for r in sim.frontier_rows()}
+    assert set(eng) == set(srows)
+    for k, s in srows.items():
+        assert eng[k]["status"] == s["status"], k
+        assert eng[k]["retries"] == s["retries"], k
+    # the cap bit: per round, each domain got at most 6 attempts even
+    # though its 3 subdomain hosts could carry 12 under the host budget
+    attempted = [r for r in eng.values() if r["retries"] > 0]
+    assert attempted and len(attempted) <= 2 * 4 * 6  # rounds*domains*cap
+
+
+def test_domain_budget_window_group_limits(spark):
+    """The literal domain cap must run as a Partial WindowGroupLimit,
+    like the host window — no full-frontier domain sort."""
+    from xtracted_crawlers_spark import plans
+
+    sel = spark.createDataFrame(
+        [
+            ("u", 1, f"B0{i:08d}", f"https://w{i % 3}.s{i % 5}.example.test/dp/B0{i:08d}",
+             0, i + 1, f"w{i % 3}.s{i % 5}.example.test")
+            for i in range(100)
+        ],
+        "user_id string, job_id long, url_id string, url string,"
+        " priority int, job_urls_seq long, host string",
+    )
+    out = scheduler.select_round(sel, domain_budget=3)
+    plan = plans.physical_plan(out)
+    assert plan.count("WindowGroupLimit") >= 1 and "Partial" in plan, plan
+    per_domain = (
+        out.groupBy(F.regexp_extract("host", r"(s\d+\.example\.test)$", 1))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 3 for r in per_domain)

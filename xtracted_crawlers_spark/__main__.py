@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--rounds", type=int, default=100)
     c.add_argument("--global-budget", type=int, default=None)
     c.add_argument("--default-budget", type=int, default=None)
+    c.add_argument(
+        "--domain-budget",
+        type=int,
+        default=None,
+        help="rows per registrable domain (eTLD+1) per round — politeness"
+        " backstop for multi-subdomain sites",
+    )
     c.add_argument("--round-seconds", type=float, default=60.0)
     c.add_argument("--expand-variants", action="store_true")
     c.add_argument("--use-bloom", action="store_true")
@@ -363,6 +370,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = CrawlConfig(
         round_seconds=args.round_seconds,
         default_budget=args.default_budget,
+        domain_budget=args.domain_budget,
         global_budget=args.global_budget,
         max_rounds=args.rounds,
         expand_variants=args.expand_variants,

@@ -46,6 +46,9 @@ class CrawlConfig:
     round_seconds: float = 60.0
     default_budget: Optional[int] = None  # per-host rows/round when no robots row
     global_budget: Optional[int] = None  # total rows/round
+    # rows per REGISTRABLE DOMAIN (eTLD+1) per round — the politeness
+    # backstop for multi-subdomain sites; see scheduler.select_round
+    domain_budget: Optional[int] = None
     # LITERAL per-host rank cap, applied even when the budgets above are
     # None. This is what keeps the DEFAULT config scale-safe: the cap is a
     # literal, so the per-host rank window runs as a WindowGroupLimit with
@@ -338,6 +341,7 @@ def run_round(
         max_host_budget=cfg.max_host_budget,
         budgets=token_budgets_df,
         fair_users=cfg.fair_users,
+        domain_budget=cfg.domain_budget,
     )
     # A5 quota gate: cut the politeness-cut selection to each user's
     # remaining api_requests budget, in the same crawl order. The

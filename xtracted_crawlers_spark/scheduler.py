@@ -390,9 +390,19 @@ def select_round(
     max_host_budget: Optional[int] = None,
     budgets: Optional[DataFrame] = None,
     fair_users: bool = False,
+    domain_budget: Optional[int] = None,
 ) -> DataFrame:
     """The round's fetch set: robots gate → per-host FIFO rank ≤ budget →
-    global ordered cut.
+    per-domain rank ≤ domain_budget → global ordered cut.
+
+    ``domain_budget``: optional LITERAL cap on rows per registrable
+    domain (eTLD+1 — urlnorm.registrable_domain) per round, applied to
+    the host-cut survivors in crawl order. Per-host budgets alone
+    over-crawl multi-subdomain sites (shard1.example.co.uk and
+    shard2.example.co.uk are one crawl target with one operator); this
+    is the domain-level politeness backstop. Literal cap ⇒ the domain
+    window runs as a Partial WindowGroupLimit, same pruning as the host
+    window.
 
     ``budgets``: optional explicit (host, budget) table — e.g. the
     carry-over ``token_budgets`` — overriding the memoryless per-round
@@ -461,6 +471,15 @@ def select_round(
     eff_default = default_budget if default_budget is not None else 2**62
     ranked = ranked.withColumn("_budget", F.coalesce(F.col("budget"), F.lit(eff_default)))
     cut = ranked.filter(F.col("_host_rank") <= F.col("_budget")).drop("budget", "_budget")
+    if domain_budget is not None:
+        wd = Window.partitionBy(
+            urlnorm.registrable_domain(F.col("host"))
+        ).orderBy(*order)
+        cut = (
+            cut.withColumn("_dom_rank", F.row_number().over(wd))
+            .filter(F.col("_dom_rank") <= F.lit(domain_budget))
+            .drop("_dom_rank")
+        )
     if global_budget is not None:
         # ordered global cut — top-k by crawl order, not a full sort
         cut = cut.orderBy(*order).limit(global_budget)

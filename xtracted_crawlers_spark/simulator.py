@@ -63,6 +63,7 @@ class ReferenceSimulator:
         token_carryover: bool = False,  # twin of CrawlConfig.token_carryover
         burst_rounds: int = 4,
         fair_users: bool = False,  # twin of CrawlConfig.fair_users
+        domain_budget: Optional[int] = None,  # twin of CrawlConfig.domain_budget
     ):
         self.pages = pages
         self.rows: dict[tuple[str, int, str], SimRow] = {}
@@ -84,6 +85,7 @@ class ReferenceSimulator:
         self.token_carryover = token_carryover
         self.burst_rounds = burst_rounds
         self.fair_users = fair_users
+        self.domain_budget = domain_budget
         self.tokens: dict[str, int] = {}
         for h, txt in (robots or {}).items():
             self.rules[h] = parse_robots(txt)
@@ -194,13 +196,24 @@ class ReferenceSimulator:
             round_budgets = {h: self._token_budget(h) for h in self.rules}
         taken: list[SimRow] = []
         per_host: dict[str, int] = {}
+        per_domain: dict[str, int] = {}
         for r in eligible:
             budget = round_budgets.get(r.host)
             if budget is None:
                 budget = self._host_budget(r.host)
             if per_host.get(r.host, 0) >= budget:
                 continue
+            # a host-cut survivor consumes its host slot even when the
+            # domain cut then drops it — twin of the engine's window
+            # order (host rank first, domain rank over the survivors)
             per_host[r.host] = per_host.get(r.host, 0) + 1
+            if self.domain_budget is not None:
+                from .urlnorm import py_registrable_domain
+
+                d = py_registrable_domain(r.host)
+                if per_domain.get(d, 0) >= self.domain_budget:
+                    continue
+                per_domain[d] = per_domain.get(d, 0) + 1
             taken.append(r)
         if self.global_budget is not None:
             taken = taken[: self.global_budget]
