@@ -429,6 +429,42 @@ from dr where _dr <= 6
 """
 
 
+def q_crawl_host_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/metrics.host_fetch_rates, value-checked:
+    per-host fetch counts over 1-minute EVENT-TIME windows (F.window ≡
+    time_bucket), statuses synthesized from event_id. The streaming form
+    is the same expression tree behind a watermark (pinned equal by
+    tests/test_streaming_metrics.py); this row pins the window
+    arithmetic itself against DuckDB."""
+    from xtracted_crawlers_spark.streaming import metrics
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts"),
+        F.concat(F.lit("h"), (F.col("event_id") % 20).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.when(F.col("event_id") % 3 == 0, F.lit("complete"))
+        .otherwise(F.lit("missed"))
+        .alias("status"),
+    )
+    return metrics.host_fetch_rates(ev, window="1 minute")
+
+
+SQL_CRAWL_HOST_RATES = """
+with ev as (select ts, 'h' || cast(event_id % 20 as varchar) || '.test' as host,
+                   case when event_id % 3 = 0 then 'complete' else 'missed' end
+                     as status
+            from events)
+select time_bucket(interval 1 minute, ts) as window_start,
+       time_bucket(interval 1 minute, ts) + interval 1 minute as window_end,
+       host,
+       count(*) as n_fetched,
+       cast(sum(case when status = 'complete' then 1 else 0 end) as bigint)
+         as n_completed
+from ev group by 1, 2, 3
+"""
+
+
 def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the frontier side scales with the dataset — the
     # engine's own fetch join gates its hint on a counted size
@@ -3390,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_words": q_text_gopher_words,
         "crawl_domain_rollup": q_crawl_domain_rollup,
         "crawl_domain_budget": q_crawl_domain_budget,
+        "crawl_host_rates": q_crawl_host_rates,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3479,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_words": SQL_TEXT_GOPHER_WORDS,
         "crawl_domain_rollup": SQL_CRAWL_DOMAIN_ROLLUP,
         "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
+        "crawl_host_rates": SQL_CRAWL_HOST_RATES,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
