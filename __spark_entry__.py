@@ -2374,6 +2374,36 @@ select node as doc_id, lab as component from l{iters}
 SQL_DEDUP_COMPONENTS = _sql_components()
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the pipeline step AFTER clustering:
+    per near-dup component keep the highest-quality doc (tie → lowest
+    doc_id), flag the rest. Composes minhash-LSH pairs →
+    connected_components → quality_score → dedup.canonical_docs; the
+    struct-max aggregation shape is combiner-friendly (no per-component
+    sort window — boilerplate mega-clusters stay skew-safe)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.25)
+    labels = dedup.connected_components(pairs, iters=_CC_ITERS)
+    scored = docs.select("doc_id", textops.quality_score(F.col("text")).alias("quality"))
+    return dedup.canonical_docs(labels, scored)
+
+
+SQL_DEDUP_CANONICAL = f"""
+with comp as ({_sql_components().strip()}),
+q as (select doc_id, {_sql_quality()} as quality from documents),
+j as (select comp.doc_id, comp.component, q.quality
+      from comp join q using (doc_id)),
+reps as (select component, doc_id as canonical_id from (
+    select component, doc_id,
+           row_number() over (partition by component
+                              order by quality desc, doc_id) as rn
+    from j) where rn = 1)
+select j.doc_id, j.component, reps.canonical_id, j.quality,
+       j.doc_id = reps.canonical_id as keep
+from j join reps using (component)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
@@ -3427,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_domain_rollup": q_crawl_domain_rollup,
         "crawl_domain_budget": q_crawl_domain_budget,
         "crawl_host_rates": q_crawl_host_rates,
+        "dedup_canonical": q_dedup_canonical,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3517,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_domain_rollup": SQL_CRAWL_DOMAIN_ROLLUP,
         "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
         "crawl_host_rates": SQL_CRAWL_HOST_RATES,
+        "dedup_canonical": SQL_DEDUP_CANONICAL,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -699,3 +699,28 @@ def test_gopher_word_rules_each_rule_fires(spark):
     )
     assert plans.python_eval_nodes(out) == []
     assert "Exchange" not in plans.physical_plan(out)
+
+
+def test_canonical_docs_selection_and_shape(spark):
+    """Per component: highest quality wins, ties break to the LOWEST
+    doc_id; singletons keep themselves. Plan: struct-max aggregation,
+    no per-component sort window (mega-cluster skew safety)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, component long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.75), (3, 0.75), (7, 0.25), (8, 0.25), (9, 1.0)],
+        "doc_id long, quality double",
+    )
+    out = dedup.canonical_docs(labels, docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["keep"] and rows[2]["canonical_id"] == 2  # tie -> lowest id
+    assert not rows[3]["keep"] and rows[3]["canonical_id"] == 2
+    assert not rows[1]["keep"]
+    assert rows[7]["keep"] and not rows[8]["keep"]  # tie -> lowest id
+    assert rows[9]["keep"]  # singleton
+    from xtracted_crawlers_spark import plans
+
+    assert "Window" not in plans.physical_plan(out)
+    assert plans.python_eval_nodes(out) == []

@@ -639,3 +639,36 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def canonical_docs(
+    labels: DataFrame,
+    docs: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The step after connected_components in every dedup pipeline:
+    pick each near-dup cluster's REPRESENTATIVE — highest ``score_col``,
+    ties broken by lowest doc_id — and flag the rest for dropping.
+    Output: (doc_id, component, canonical_id, keep).
+
+    Shuffle shape chosen for the 100-TB corpus: a partial-aggregating
+    max over (score, -doc_id) structs per component, then an equi join
+    back — NOT a per-component sort window, because boilerplate mega-
+    clusters (one component holding 1e6 docs) would concentrate a
+    window sort in one task, while a struct-max is combiner-friendly
+    (each map task forwards one candidate per component)."""
+    j = labels.join(docs.select(F.col(id_col).alias("doc_id"), score_col), "doc_id")
+    reps = j.groupBy("component").agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col("doc_id")).alias("negid"))
+        ).alias("m")
+    )
+    canon = reps.select("component", (-F.col("m.negid")).alias("canonical_id"))
+    return j.join(canon, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        F.col(score_col),
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
