@@ -217,3 +217,40 @@ def test_seen_filter_kind_validation():
     assert seen_filter_kind(CrawlConfig(use_bloom=True, seen_filter="cuckoo")) == "cuckoo"
     with pytest.raises(ValueError):
         seen_filter_kind(CrawlConfig(seen_filter="xor"))
+
+
+def test_mid_crawl_bootstrap_keeps_filter_complete(spark, corpus, tmp_path):
+    """Regression (round-5 review): a mid-crawl bootstrap (sitemap
+    re-harvest / recurring ingest) adds frontier keys; the committed
+    seen filter must learn them at the same commit point, or a later
+    variant colliding with an ingested key would probe maybe_seen=False
+    and bypass the exact anti-join. Checked for BOTH filter kinds: after
+    a second bootstrap, every frontier key still probes maybe-seen."""
+    from xtracted_crawlers_spark import seen
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import (
+        CrawlConfig, bootstrap, load_frontier, run_crawl,
+    )
+
+    pages = spark.read.parquet(corpus["pages"])
+    seeds = spark.read.parquet(corpus["seeds"])
+    for kind, probe in (("cuckoo", cuckoo.cuckoo_maybe_seen),
+                        ("bloom", seen.bloom_maybe_seen)):
+        cfg = CrawlConfig(
+            max_rounds=2,
+            expand_variants=True,
+            seen_filter=kind,
+            bloom_buckets=N_BUCKETS,
+            cuckoo_expected_per_bucket=512,
+        )
+        cat = ParquetSnapshotCatalog(str(tmp_path / f"wh_{kind}"))
+        run_crawl(spark, cat, pages, seeds.limit(10), cfg=cfg)
+        assert cat.exists(f"seen_{kind}")
+        # mid-crawl ingest of NEW keys (rows 10..20 of the seed list)
+        extra = seeds.subtract(seeds.limit(10)).limit(10)
+        assert extra.count() > 0
+        bootstrap(spark, cat, extra, cfg=cfg)
+        filt = cat.load(spark, f"seen_{kind}")
+        keys = load_frontier(spark, cat).select("user_id", "job_id", "url_id")
+        flagged = probe(keys, filt, N_BUCKETS)
+        assert flagged.filter(~F.col("maybe_seen")).count() == 0, kind

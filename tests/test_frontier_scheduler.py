@@ -623,3 +623,27 @@ def test_domain_budget_window_group_limits(spark):
         .collect()
     )
     assert all(r["count"] <= 3 for r in per_domain)
+
+
+def test_merge_bloom_into_absent_bucket_no_false_negative(spark):
+    """Regression (round-5 review): build_bloom materializes only
+    buckets that held keys, so merging keys into a previously-empty
+    bucket must CREATE its state row (full outer fold) — the old left
+    join silently dropped such keys and a later probe answered
+    definitely-new (false negative)."""
+    from xtracted_crawlers_spark import seen
+
+    nb = 16
+    base = spark.createDataFrame(
+        [("u", 1, f"B0{i:08d}") for i in range(3)],
+        "user_id string, job_id long, url_id string",
+    )
+    bloom = seen.build_bloom(base, n_buckets=nb)
+    assert bloom.count() < nb  # some buckets genuinely absent
+    extra = spark.createDataFrame(
+        [("u", 1, f"BT{i:08d}") for i in range(200)],
+        "user_id string, job_id long, url_id string",
+    )
+    merged = seen.merge_bloom(bloom, extra, nb)
+    flagged = seen.bloom_maybe_seen(base.unionByName(extra), merged, nb)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0

@@ -221,13 +221,23 @@ def bootstrap(
     seeds: DataFrame,
     priority: int = 0,
     host_scores: Optional[DataFrame] = None,
+    cfg: Optional[CrawlConfig] = None,
 ) -> int:
     """Seed ingest → frontier snapshot 0 (A1). Idempotent against an
     existing frontier (anti-join dedup). host_scores (host, score), e.g.
     linkgraph in-degree or PageRank, stamps authority-derived priority
     buckets on the new rows (scheduler.with_host_priority) so
     select_round schedules authoritative hosts first; default keeps the
-    reference's constant priority."""
+    reference's constant priority.
+
+    ``cfg``: pass the crawl's config when a seen pre-filter is in play —
+    a MID-CRAWL bootstrap (sitemap re-harvest, recurring ingest) adds
+    frontier keys, and a committed bloom/cuckoo filter that doesn't
+    learn them would later answer maybe_seen=False for a variant
+    colliding with those keys, letting it BYPASS the exact anti-join
+    (the filter's "no" is treated as definitive) and duplicate the row.
+    run_crawl always passes it; the filter merge commits at the same
+    round as the frontier rows it covers."""
     existing = load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
     new_rows = FR.ingest_seeds(seeds, existing, priority=priority, round_id=0)
     if host_scores is not None:
@@ -255,6 +265,20 @@ def bootstrap(
             round_id=0,
             metrics={"event": "bootstrap_ingest", "new_urls": n_new},
         )
+    # keep the seen pre-filter COMPLETE over the frontier: fold the new
+    # keys into the committed filter state (no-op before the first
+    # expansion round builds one; the anti-join alone deduped the seeds)
+    if n_new > 0 and cfg is not None:
+        kind = seen_filter_kind(cfg)
+        table = _SEEN_TABLES.get(kind)
+        if table and catalog.exists(table):
+            merge = seen.merge_bloom if kind == "bloom" else cuckoo.merge_cuckoo
+            catalog.commit(
+                merge(catalog.load(spark, table), new_rows.select(*KEY), cfg.bloom_buckets),
+                table,
+                round_id=0,
+                metrics={"event": "bootstrap_ingest_filter", "new_urls": n_new},
+            )
     return sid
 
 
@@ -996,12 +1020,12 @@ def run_crawl(
     else:
         sm_seeds = None
     if seeds is not None and not catalog.exists(FRONTIER_TABLE):
-        bootstrap(spark, catalog, seeds, host_scores=host_scores)
+        bootstrap(spark, catalog, seeds, host_scores=host_scores, cfg=cfg)
     if sm_seeds is not None:
         # the sitemap channel re-harvests EVERY invocation (a resumed
         # crawl must pick up newly published locs); bootstrap's anti-join
         # makes it idempotent and it skips the commit when nothing is new
-        bootstrap(spark, catalog, sm_seeds, host_scores=host_scores)
+        bootstrap(spark, catalog, sm_seeds, host_scores=host_scores, cfg=cfg)
     if quota is not None and not catalog.exists(QT.QUOTA_TABLE):
         catalog.commit(quota, QT.QUOTA_TABLE, metrics={"event": "quota_init"})
     start_round = 1

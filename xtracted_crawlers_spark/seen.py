@@ -101,16 +101,26 @@ def build_bloom(
 
 
 def merge_bloom(bloom: DataFrame, new_keys: DataFrame, n_buckets: int = 64) -> DataFrame:
-    """Incrementally OR new keys into the touched buckets only."""
+    """Incrementally OR new keys into the touched buckets. FULL outer
+    join: build_bloom materializes only buckets that held keys, so a new
+    key can land in a bucket with no state row yet — a left join keyed
+    on the bloom side would silently DROP it (a later probe would answer
+    definitely-new: a false negative, the one thing the filter contract
+    forbids). Absent buckets start from zero bits."""
     m_k = bloom.select("m", "k").first()
     m, k = int(m_k["m"]), int(m_k["k"])
     hashed = with_bloom_keys(new_keys, n_buckets).select(
         F.col("bloom_bucket").alias("bucket"), "h1", "h2"
     )
-    joined = bloom.join(hashed, "bucket", "left")
+    joined = bloom.join(hashed, "bucket", "full")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        prior = pdf["bits"].dropna()
+        bits = (
+            np.frombuffer(prior.iloc[0], dtype=np.uint8).copy()
+            if len(prior)
+            else np.zeros(m // 8, dtype=np.uint8)
+        )
         live = pdf[pdf["h1"].notna()]
         if len(live):
             pos = _positions(

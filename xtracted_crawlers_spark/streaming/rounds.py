@@ -93,6 +93,30 @@ def stream_seed_ingest(
                 round_id=state["round"],
                 metrics={"event": "stream_ingest_jobs", "batch_id": batch_id},
             )
+        # keep the seen pre-filter complete over the frontier, same as
+        # crawl.bootstrap: a committed filter that misses ingested keys
+        # would later pass a colliding variant around the exact anti-join
+        from ..crawl import _SEEN_TABLES, seen_filter_kind
+
+        filt_table = _SEEN_TABLES.get(seen_filter_kind(cfg))
+        if filt_table and catalog.exists(filt_table):
+            from .. import cuckoo, seen
+
+            merge = (
+                seen.merge_bloom
+                if filt_table == "seen_bloom"
+                else cuckoo.merge_cuckoo
+            )
+            catalog.commit(
+                merge(
+                    catalog.load(spark, filt_table),
+                    new_rows.select("user_id", "job_id", "url_id"),
+                    cfg.bloom_buckets,
+                ),
+                filt_table,
+                round_id=state["round"],
+                metrics={"event": "stream_ingest_filter", "batch_id": batch_id},
+            )
         state["round"] += 1
         run_round(spark, catalog, pages, state["round"], cfg, rules)
 
