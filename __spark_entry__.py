@@ -585,7 +585,7 @@ def _sql_decode_octets(expr: str) -> str:
     """DuckDB twin of scheduler.decode_robots_octets: split on '%',
     decode each fragment's leading hex pair when the octet is printable
     US-ASCII outside the kept set {2F,2A,24,25}, uppercase kept
-    triplets, pass invalid triplets through literally."""
+    triplets, canonicalize an invalid '%' to '%25'."""
     h1 = "(strpos('0123456789ABCDEF', upper(f[1:1]))-1)"
     h2 = "(strpos('0123456789ABCDEF', upper(f[2:2]))-1)"
     octet = f"({h1}*16 + {h2})"
@@ -597,7 +597,7 @@ def _sql_decode_octets(expr: str) -> str:
         f"and upper(f[1:2]) not in ('2F','2A','24','25') "
         f"then chr(cast({octet} as integer)) || f[3:] "
         f"else '%' || upper(f[1:2]) || f[3:] end "
-        f"else '%' || f end), ''), ''))"
+        f"else '%25' || f end), ''), ''))"
     )
 
 
@@ -611,7 +611,9 @@ u as (select k,
 s0 as (select k, url, lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) as pathq
       from u),
-s as (select k, url, host, {_sql_decode_octets('pathq')} as pathq from s0),
+s as (select k, url, host,
+         replace(replace({_sql_decode_octets('pathq')}, '*', '%2A'), '$', '%24')
+           as pathq from s0),
 r as (select host, cast(regexp_extract(host, 'shop(\\d+)', 1) as int) as hn
       from (select distinct host from s)),
 rules as (select host, upper(to_hex(hn % 16)) as d1,

@@ -493,12 +493,22 @@ def test_robots_percent_decoding_unit(spark):
         ("/a%2Ab", "https://h.test/aXXb", False),      # %2A is NOT a wildcard
         ("/a%2Ab", "https://h.test/a%2Ab", True),      # ... but matches a literal %2A
         ("/a%24", "https://h.test/a%24zzz", True),     # %24 is NOT an end anchor
+        # RFC 9309 §2.2.3 special-characters example: %2A is the
+        # prescribed way to write a literal '*', and it must match a RAW
+        # '*' in the URL path (raw '*'/'$' are legal path characters)
+        ("/file-with-a-%2A.html", "https://h.test/file-with-a-*.html", True),
+        ("/a%24b", "https://h.test/a$b", True),        # %24 matches raw '$'
+        ("/a$b", "https://h.test/a$b", True),          # mid-'$' is literal
+        ("/a$b", "https://h.test/axb", False),
+        ("/x*y$", "https://h.test/xzzy", True),        # wildcard+anchor intact
     ]
-    # invalid %-triplets stay literal in the PURE twin; the engine never
-    # sees them because try_parse_url nulls the path of an invalid URL
-    # (and canonicalize drops such URLs before scheduling)
-    assert scheduler.robots_blocked("/p%ZZq", ["/p%ZZq"], []) is True
-    assert scheduler.decode_robots_octets("/p%ZZq") == "/p%ZZq"
+    # a '%' that starts no valid triplet canonicalizes to '%25' on BOTH
+    # sides, so the pure twin matches it in one form; the engine never
+    # sees such paths because try_parse_url nulls invalid URLs
+    assert scheduler.decode_robots_octets("/p%ZZq") == "/p%25ZZq"
+    assert scheduler.robots_blocked(
+        "/p%ZZq", [scheduler.canonicalize_robots_pattern("/p%ZZq")], []
+    ) is True
     rows = [
         (f"c{i}.test", f"https://c{i}.test{u[len('https://h.test'):]}")
         for i, (_, u, _b) in enumerate(cases)
@@ -512,7 +522,7 @@ def test_robots_percent_decoding_unit(spark):
     for i, (pat, url, blocked) in enumerate(cases):
         assert (f"c{i}.test" not in kept) is blocked, (pat, url)
         # pure twin agrees (patterns canonicalized the parse_robots way)
-        dec = scheduler.decode_robots_octets(pat)
+        dec = scheduler.canonicalize_robots_pattern(pat)
         path = url[len("https://h.test"):]
         assert scheduler.robots_blocked(path, [dec], []) is blocked, (pat, url)
 
@@ -529,7 +539,7 @@ def test_robots_gate_percent_fuzz_engine_matches_twin(spark):
     pat_frags = ["a", "b", "/", "*", "$", "%3F", "%2F", "%41", "%2A", "%25",
                  "%7E", "%zz", "%4", "?x=1", "=", "."]
     path_frags = ["a", "b", "/", "%3F", "%2F", "%41", "%2A", "%25",
-                  "%7E", "?x=1", "=", "."]
+                  "%7E", "?x=1", "=", ".", "*", "$"]
     def mk(n, frags):
         return "/" + "".join(rnd.choice(frags) for _ in range(rnd.randint(0, n)))
     cases = []
@@ -559,8 +569,8 @@ def test_robots_gate_percent_fuzz_engine_matches_twin(spark):
         pq = pr.path + (("?" + pr.query) if pr.query else "")
         want = scheduler.robots_blocked(
             pq,
-            [scheduler.decode_robots_octets(p) for p in dis],
-            [scheduler.decode_robots_octets(p) for p in alw],
+            [scheduler.canonicalize_robots_pattern(p) for p in dis],
+            [scheduler.canonicalize_robots_pattern(p) for p in alw],
         )
         assert (f"f{i}.test" not in kept) is want, (dis, alw, path)
 

@@ -190,7 +190,6 @@ def test_fair_users_user_position_window_cap_would_be_unsound(spark):
     budgets = spark.createDataFrame(
         [("h1.test", 0), ("h2.test", 1)], "host string, budget long"
     )
-    sel = sel.withColumn("host", F.lit(None).cast("string")).drop("host")
     from xtracted_crawlers_spark import urlnorm
 
     sel = sel.withColumn("host", urlnorm.host(F.col("url")))

@@ -116,3 +116,60 @@ def test_crawl_loop_trap_quarantine(spark, tmp_path):
         assert off[k]["retries"] > 0, k  # unguarded: budget burned
     for k in set(on) - trap_ids:  # clean host progressed in both modes
         assert on[k]["retries"] > 0, k
+
+
+def test_trap_state_matches_exact_rollup(spark):
+    """The incremental per-host state (host_trap_state → trap_verdicts,
+    HLL paths) agrees with the exact one-shot rollup on every verdict,
+    and merging two halves equals building from the whole (the
+    mergeability the round loop relies on)."""
+    urls = _urls(spark)
+    exact = {r["host"]: r["is_trap"] for r in traps.trap_hosts(urls).collect()}
+    whole = traps.trap_verdicts(traps.host_trap_state(urls))
+    got = {r["host"]: r["is_trap"] for r in whole.collect()}
+    assert got == exact
+    # split-merge equivalence (HLL union + counter sums)
+    a = urls.filter(F.xxhash64("url") % 2 == 0)
+    b = urls.filter(F.xxhash64("url") % 2 != 0)
+    merged = traps.merge_trap_state(
+        traps.host_trap_state(a), traps.host_trap_state(b)
+    )
+    got2 = {r["host"]: r["is_trap"] for r in traps.trap_verdicts(merged).collect()}
+    assert got2 == exact
+    # n_paths estimates are exact at these cardinalities (HLL sparse mode)
+    exact_paths = {r["host"]: r["n_paths"] for r in traps.trap_hosts(urls).collect()}
+    est_paths = {r["host"]: r["n_paths"] for r in traps.trap_verdicts(merged).collect()}
+    assert est_paths == exact_paths
+
+
+def test_crawl_trap_state_is_incremental(spark, tmp_path):
+    """The round loop seeds trap_state once and folds only discoveries;
+    a mid-crawl bootstrap folds its ingested rows — the committed state
+    covers the whole frontier without any per-round frontier rescan."""
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import (
+        TRAP_STATE_TABLE, CrawlConfig, bootstrap, load_frontier, run_crawl,
+    )
+
+    seeds = spark.createDataFrame(
+        [("u", 1, i, f"https://ok.test/dp/BT{i:08d}") for i in range(6)],
+        "user_id string, job_id long, seed_idx int, url string",
+    )
+    pages = spark.createDataFrame([], "url string, html binary, text string")
+    cat = ParquetSnapshotCatalog(str(tmp_path / "wh"))
+    cfg = CrawlConfig(max_rounds=2, trap_quarantine=True)
+    run_crawl(spark, cat, pages, seeds, cfg=cfg)
+    assert cat.exists(TRAP_STATE_TABLE)
+    # mid-crawl ingest on a NEW trap host folds into the state
+    extra = spark.createDataFrame(
+        [("u", 1, 100 + i, f"https://trap.test/dp/B0{i:08d}" + "/2024/01" * 4)
+         for i in range(4)],
+        "user_id string, job_id long, seed_idx int, url string",
+    )
+    bootstrap(spark, cat, extra, cfg=cfg)
+    state = cat.load(spark, TRAP_STATE_TABLE)
+    v = {r["host"]: r for r in traps.trap_verdicts(state).collect()}
+    assert v["trap.test"]["is_trap"] and not v["ok.test"]["is_trap"]
+    # state covers the full frontier's URL counts
+    n_frontier = load_frontier(spark, cat).count()
+    assert sum(r["n_urls"] for r in v.values()) == n_frontier

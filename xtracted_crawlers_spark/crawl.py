@@ -160,6 +160,9 @@ HOST_TOKENS_TABLE = "host_tokens"
 # round_id as the frontier delta, so a resumed crawl reloads a pair
 # that was written together
 _SEEN_TABLES = {"bloom": "seen_bloom", "cuckoo": "seen_cuckoo"}
+# incremental per-host trap state (operators/traps.py) — seeded from the
+# frontier on first trap_quarantine round, folded forward by deltas
+TRAP_STATE_TABLE = "trap_state"
 
 
 def seen_filter_kind(cfg: CrawlConfig) -> str:
@@ -279,6 +282,18 @@ def bootstrap(
                 round_id=0,
                 metrics={"event": "bootstrap_ingest_filter", "new_urls": n_new},
             )
+        if cfg.trap_quarantine and catalog.exists(TRAP_STATE_TABLE):
+            from .operators import traps as traps_mod
+
+            catalog.commit(
+                traps_mod.merge_trap_state(
+                    catalog.load(spark, TRAP_STATE_TABLE),
+                    traps_mod.host_trap_state(new_rows),
+                ),
+                TRAP_STATE_TABLE,
+                round_id=0,
+                metrics={"event": "bootstrap_ingest_traps", "new_urls": n_new},
+            )
     return sid
 
 
@@ -346,16 +361,27 @@ def run_round(
         )
 
     eligible = FR.selectable(fr)
+    trap_state = None
     if cfg.trap_quarantine:
-        # trap gate (operators/traps.py): detect trap hosts over the
-        # WHOLE frontier (discovered URLs included — that's where traps
-        # enter via expansion/sitemap ingest) and anti-join the flagged
-        # hosts out of this round's eligible set. One extra aggregation
-        # pass over the frontier per round; the verdict table is one row
-        # per host, broadcast into the anti-join.
+        # trap gate (operators/traps.py): quarantine trap hosts from the
+        # round's eligible set. The per-host state is INCREMENTAL —
+        # seeded from the frontier once, then folded forward by each
+        # round's discoveries (and by mid-crawl bootstraps), so steady
+        # state pays O(delta) per round, not an O(frontier) rescan; the
+        # verdict table is one row per host, broadcast into the
+        # anti-join.
         from .operators import traps as traps_mod
 
-        eligible = traps_mod.quarantine(eligible, traps_mod.trap_hosts(fr))
+        if catalog.exists(TRAP_STATE_TABLE):
+            trap_state = catalog.load(spark, TRAP_STATE_TABLE)
+        else:
+            trap_state = traps_mod.host_trap_state(fr)
+            catalog.commit(
+                trap_state, TRAP_STATE_TABLE, round_id=round_id,
+                metrics={"event": "trap_state_seed"},
+            )
+            trap_state = catalog.load(spark, TRAP_STATE_TABLE)
+        eligible = traps_mod.quarantine(eligible, traps_mod.trap_verdicts(trap_state))
     sel = scheduler.select_round(
         eligible,
         rules=rules,
@@ -531,6 +557,18 @@ def run_round(
         metrics["discovered"] = n_discovered
         new_frontier = new_frontier.unionByName(discovered.select(*fr.columns))
         delta = delta.unionByName(discovered.select(*fr.columns))
+        if trap_state is not None and n_discovered > 0:
+            # fold the round's discoveries into the trap state — O(delta)
+            from .operators import traps as traps_mod
+
+            catalog.commit(
+                traps_mod.merge_trap_state(
+                    trap_state, traps_mod.host_trap_state(discovered)
+                ),
+                TRAP_STATE_TABLE,
+                round_id=round_id,
+                metrics={"event": "trap_state_fold", "new_urls": n_discovered},
+            )
         if filt_kind != "none":
             if filt is not None:
                 # filter state is loaded once above; only the round's

@@ -123,3 +123,72 @@ def quarantine(selectable: DataFrame, traps: DataFrame) -> DataFrame:
     traps is one row per host (broadcast-sized at any corpus scale)."""
     bad = traps.filter(F.col("is_trap")).select("host")
     return selectable.join(F.broadcast(bad), "host", "left_anti")
+
+
+# --- incremental (round-loop) form ------------------------------------------
+# trap_hosts() above rescans its whole input — right for a one-shot audit
+# and for the hash-exact oracle, wrong inside the crawl loop where the
+# frontier only ever GROWS by a bounded per-round delta. The state below
+# is one row per host and fully mergeable, so the loop pays O(delta) per
+# round instead of O(frontier): counters merge by sum/max, and the
+# distinct-path count (the session-explosion denominator) is a
+# Datasketches HLL union (exact in sparse mode at per-host path counts
+# below ~2^lg_k, ±~1.6% beyond — fine for a heuristic gate; the exact
+# rollup remains the audit/oracle surface).
+
+PATHS_LG_K = 12
+
+
+def host_trap_state(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Mergeable per-host trap state from a URL slice: (host, n_urls,
+    n_query, max_depth, n_looping, paths_sketch). One partial-agg
+    shuffle over the slice."""
+    feats = url_trap_features(df, url_col)
+    looping = (F.col("seg_repeat") >= MIN_SEGMENT_REPEATS) | (
+        F.col("depth") > MAX_DEPTH
+    )
+    return feats.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("has_query").cast("long")).alias("n_query"),
+        F.max("depth").alias("max_depth"),
+        F.sum(looping.cast("long")).alias("n_looping"),
+        F.hll_sketch_agg("path", F.lit(PATHS_LG_K)).alias("paths_sketch"),
+    )
+
+
+def merge_trap_state(state: DataFrame, delta_state: DataFrame) -> DataFrame:
+    """Fold a delta's per-host state into the committed state: counters
+    add, depth maxes, path sketches HLL-union. Both sides are one row
+    per host, so this is a tiny aggregate."""
+    return (
+        state.unionByName(delta_state)
+        .groupBy("host")
+        .agg(
+            F.sum("n_urls").alias("n_urls"),
+            F.sum("n_query").alias("n_query"),
+            F.max("max_depth").alias("max_depth"),
+            F.sum("n_looping").alias("n_looping"),
+            F.hll_union_agg("paths_sketch", F.lit(False)).alias("paths_sketch"),
+        )
+    )
+
+
+def trap_verdicts(
+    state: DataFrame,
+    urls_per_path: int = URLS_PER_PATH,
+) -> DataFrame:
+    """Per-host is_trap from the mergeable state — same rules as
+    trap_hosts, with n_paths estimated from the HLL sketch."""
+    n_paths = F.hll_sketch_estimate("paths_sketch").cast("long")
+    explosion = (F.col("n_urls") >= urls_per_path * n_paths) & (
+        F.col("n_query") * 2 >= F.col("n_urls")
+    )
+    return state.select(
+        "host",
+        "n_urls",
+        n_paths.alias("n_paths"),
+        "max_depth",
+        "n_looping",
+        "n_query",
+        ((F.col("n_looping") > 0) | explosion).alias("is_trap"),
+    )

@@ -57,8 +57,10 @@ def decode_robots_octets(s: str) -> str:
     at parse time) and URL paths (applied at match time): '%XY' with
     valid hex decodes to its character when the octet is printable
     US-ASCII outside ``_KEEP_ENCODED``; kept triplets uppercase their
-    hex; invalid triplets pass through literally. Idempotent. Pure
-    twin of ``decode_octets_col`` (fuzz-tested equivalent)."""
+    hex; a '%' that does NOT start a valid triplet canonicalizes to
+    '%25' (a literal percent — so pattern '%zz' and path '%zz' compare
+    equal in one form). Idempotent. Pure twin of ``decode_octets_col``
+    (fuzz-tested equivalent)."""
     if "%" not in s:
         return s
     parts = s.split("%")
@@ -72,8 +74,32 @@ def decode_robots_octets(s: str) -> str:
             else:
                 out.append("%" + h + frag[2:])
         else:
-            out.append("%" + frag)
+            out.append("%25" + frag)
     return "".join(out)
+
+
+def canonicalize_robots_path(path: str) -> str:
+    """Full canonical comparison form for the URL-PATH side: %-decode,
+    then encode raw '*' and '$' (legal in URL paths, metacharacters in
+    patterns) as %2A/%24 — so the RFC's §2.2.3 special-characters
+    example works: pattern '/file-with-a-%2A.html' (the prescribed way
+    to write a literal asterisk) matches path '/file-with-a-*.html'.
+    Pure twin of the gate's path expression."""
+    return decode_robots_octets(path).replace("*", "%2A").replace("$", "%24")
+
+
+def canonicalize_robots_pattern(p: str) -> str:
+    """Canonical comparison form for a PATTERN: %-decode, then encode
+    any NON-TRAILING '$' as %24 (RFC 9309 gives '$' meaning only at the
+    end of a pattern; elsewhere it is a literal that must match the
+    path side's encoded form). Raw '*' stays — it is the wildcard.
+    Specificity (longest-match precedence) is the length of THIS
+    canonical string, consistently in the gate, the pure twin and the
+    oracles."""
+    d = decode_robots_octets(p)
+    if d.endswith("$"):
+        return d[:-1].replace("$", "%24") + "$"
+    return d.replace("$", "%24")
 
 
 def decode_octets_col(c):
@@ -93,13 +119,34 @@ def decode_octets_col(c):
         return (
             F.when(valid & (o >= 0x20) & (o <= 0x7E) & ~keep, F.concat(F.char(o), tail))
             .when(valid, F.concat(F.lit("%"), h, tail))
-            .otherwise(F.concat(F.lit("%"), s))
+            .otherwise(F.concat(F.lit("%25"), s))
         )
 
     decoded = F.concat(
         F.element_at(parts, 1), F.array_join(F.transform(rest, frag), "")
     )
     return F.when(c.contains("%"), decoded).otherwise(c)
+
+
+def canonicalize_path_col(c):
+    """JVM Column twin of canonicalize_robots_path: decode octets, then
+    encode raw '*'/'$' so path literals meet the patterns' kept forms."""
+    return F.replace(
+        F.replace(decode_octets_col(c), F.lit("*"), F.lit("%2A")),
+        F.lit("$"),
+        F.lit("%24"),
+    )
+
+
+def canonicalize_pattern_col(p):
+    """JVM Column twin of canonicalize_robots_pattern: decode octets,
+    then encode NON-TRAILING '$' as %24 (trailing '$' stays the end
+    anchor; raw '*' stays the wildcard)."""
+    d = decode_octets_col(p)
+    anchored = d.endswith("$")
+    body = F.when(anchored, F.substr(d, F.lit(1), F.length(d) - 1)).otherwise(d)
+    body = F.replace(body, F.lit("$"), F.lit("%24"))
+    return F.when(anchored, F.concat(body, F.lit("$"))).otherwise(body)
 
 
 def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]]:
@@ -126,9 +173,9 @@ def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]
         if key == "user-agent":
             applies = val == "*"
         elif applies and key == "disallow" and val:
-            disallow.append(decode_robots_octets(val))
+            disallow.append(canonicalize_robots_pattern(val))
         elif applies and key == "allow" and val:
-            allow.append(decode_robots_octets(val))
+            allow.append(canonicalize_robots_pattern(val))
         elif applies and key == "crawl-delay":
             try:
                 delay = float(val)
@@ -140,9 +187,11 @@ def parse_robots(robots_txt: str) -> tuple[list[str], list[str], Optional[float]
 def robots_pattern_regex(pattern: str) -> str:
     """RFC 9309 path pattern → anchored Python regex: '*' matches any
     char run (incl. empty), a TRAILING '$' anchors at end-of-path, every
-    other char is literal ('$' mid-pattern included). Specificity for
-    longest-match precedence is the RAW pattern length (octets, wildcard
-    chars counted — the gate and the simulator both use ``len(pattern)``).
+    other char is literal (a mid-pattern '$' reaches here as '%24', per
+    canonicalize_robots_pattern). Specificity for longest-match
+    precedence is the CANONICAL pattern length (decoded octets, wildcard
+    chars counted — the gate, the simulator and the oracles all use the
+    length of the canonicalized pattern).
     Pure-Python twin of the gate's JVM translation (same split/anchor
     construction; the JVM side quotes with \\Q..\\E, this side with
     re.escape — fuzz-tested equivalent in tests)."""
@@ -154,11 +203,12 @@ def robots_pattern_regex(pattern: str) -> str:
 
 def robots_blocked(path: str, disallow: list[str], allow: list[str]) -> bool:
     """Pure-Python twin of apply_robots_gate's per-row decision, for the
-    simulator and fuzz tests: patterns are expected in canonical decoded
-    form (parse_robots output); the path is %-decoded here the same way
-    the gate decodes its path column. Longest decoded pattern wins,
-    Allow wins ties."""
-    p = decode_robots_octets(path)
+    simulator and fuzz tests: patterns are expected in canonical form
+    (parse_robots / canonicalize_robots_pattern output); the path is
+    canonicalized here the same way the gate canonicalizes its path
+    column (decode + encode raw '*'/'$'). Longest canonical pattern
+    wins, Allow wins ties."""
+    p = canonicalize_robots_path(path)
 
     def hit(pat: str) -> bool:
         return re.search(robots_pattern_regex(pat), p) is not None
@@ -340,25 +390,27 @@ def apply_robots_gate(selectable: DataFrame, rules: Optional[DataFrame]) -> Data
     Pure JVM exprs (filter + aggregate over the tiny broadcast rule
     arrays).
 
-    RFC 9309 §2.2.2 %-decoding: both sides are compared in canonical
-    decoded form. Patterns are decoded once per host row here (so
-    hand-built rule tables behave like parse_robots output — decoding
-    is idempotent); the path decodes per selectable row behind a
-    no-'%' fast path. Specificity for longest-match precedence is the
-    DECODED pattern length (octets actually compared), consistently in
-    the gate, the simulator and the oracles."""
+    RFC 9309 §2.2.2/§2.2.3 canonical form: both sides are compared in
+    one form — octets decoded (except the kept metacharacter set),
+    raw '*'/'$' in the PATH encoded to %2A/%24, non-trailing '$' in
+    PATTERNS encoded to %24. Patterns canonicalize once per host row
+    here (so hand-built rule tables behave like parse_robots output —
+    the transform is idempotent); the path canonicalizes per selectable
+    row behind a no-'%' fast path inside the decode. Specificity for
+    longest-match precedence is the CANONICAL pattern length,
+    consistently in the gate, the simulator and the oracles."""
     if rules is None:
         return selectable
     rules_dec = rules.select(
         "host",
-        F.transform(F.col("disallow"), decode_octets_col).alias("disallow"),
-        F.transform(F.col("allow"), decode_octets_col).alias("allow"),
+        F.transform(F.col("disallow"), canonicalize_pattern_col).alias("disallow"),
+        F.transform(F.col("allow"), canonicalize_pattern_col).alias("allow"),
     )
     gated = selectable.join(F.broadcast(rules_dec), "host", "left")
     # RFC 9309 matches against the path INCLUDING the query string
     # ('/*.php$' must NOT match '/filename.php?parameters' — spec example)
     q = F.try_parse_url("url", F.lit("QUERY"))
-    path = decode_octets_col(
+    path = canonicalize_path_col(
         F.concat(
             F.coalesce(F.try_parse_url("url", F.lit("PATH")), F.lit("")),
             F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
