@@ -1959,9 +1959,13 @@ _SQL_REP_FIXTURE = (
     " chr(10) || repeat('lorem ipsum ', cast(2 + doc_id % 4 as int)) else '' end"
 )
 
-SQL_TEXT_REPETITION = f"""
+def _sql_repetition(fixture: str) -> str:
+    """Repetition-filter oracle over an arbitrary fixture text
+    expression — reused by text_repetition and the composed Gopher
+    pipeline (same CTE chain, different input text)."""
+    return f"""
 with d as (
-  select doc_id, {_SQL_REP_FIXTURE} as ftext
+  select doc_id, {fixture} as ftext
   from documents
 ),
 l as (
@@ -2028,6 +2032,11 @@ select doc_id, dup_line_frac, dup_line_char_frac, top_bigram_char_frac,
         and top_bigram_char_frac <= 0.20) as keep
 from stats
 """
+
+
+SQL_TEXT_REPETITION = _sql_repetition(_SQL_REP_FIXTURE)
+
+
 
 
 def q_text_gopher_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2124,6 +2133,99 @@ select doc_id, wc, word_chars, alpha_words, symbol_cnt, n_lines, bullet_lines,
         and stop_hits >= 2) as keep
 from stats
 """
+
+
+def q_pipeline_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher filter as one composed plan — both halves of Rae
+    et al. 2021 Table A1 over the same (amplified) corpus: the word
+    rules (gopher_word_keep) and the repetition rules (gopher_keep) —
+    with per-source drop ATTRIBUTION, the number a pipeline operator
+    actually watches ("which gate is eating my corpus?"): n_drop_words
+    (failed word rules), n_drop_rep (passed words, failed repetition),
+    n_keep, and kept-token accounting. Every stage is a map-only column
+    expression; the rollup is one partial-agg shuffle — no join, no
+    window, no Python."""
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit(" to be of and that have with")).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.lit("\n- bullet one\n- bullet two\n- bullet three\n- bullet four"),
+        ).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("\nteaser one...\nteaser two...\nread more…")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            i % 7 == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), (1 + i % 9).cast("int")))
+        ).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.concat(F.lit(" "), F.repeat(F.lit("12345678901 "), 4))).otherwise(
+            F.lit("")
+        ),
+        # repetition pressure: doc_id%6 gains duplicated lines so the
+        # repetition half drops a distinct (word-rule-passing) slice
+        F.when(
+            i % 6 == 0,
+            F.concat(
+                F.lit("\nrepeated boilerplate line\n"),
+                F.repeat(F.lit("repeated boilerplate line\n"), 3),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    kw = textops.gopher_word_keep(t)
+    kr = textops.gopher_keep(t)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            kw.alias("_kw"),
+            (kw & kr).alias("_keep"),
+            textops.token_count(t).cast("long").alias("_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("_kw")).cast("long")).alias("n_drop_words"),
+            F.sum((F.col("_kw") & ~F.col("_keep")).cast("long")).alias("n_drop_rep"),
+            F.sum(F.col("_keep").cast("long")).alias("n_keep"),
+            F.sum(F.when(F.col("_keep"), F.col("_tok")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
+_SQL_GOPHER_PIPE_FIXTURE = (
+    _SQL_GOPHER_FIXTURE
+    + " || case when doc_id % 6 = 0 then chr(10) || 'repeated boilerplate line'"
+    " || chr(10) || repeat('repeated boilerplate line' || chr(10), 3) else '' end"
+)
+
+
+def _sql_pipeline_corpus_gopher() -> str:
+    words_q = SQL_TEXT_GOPHER_WORDS.replace(_SQL_GOPHER_FIXTURE, _SQL_GOPHER_PIPE_FIXTURE)
+    rep_q = _sql_repetition(_SQL_GOPHER_PIPE_FIXTURE)
+    return f"""
+with gw as ({words_q}),
+rep as ({rep_q}),
+tok as (select doc_id, source,
+          cast(length(regexp_extract_all({_SQL_GOPHER_PIPE_FIXTURE},
+            '\\w+|[^\\w\\s]')) as bigint) as tk
+        from documents)
+select source,
+  count(*) as n_docs,
+  cast(sum(case when not gw.keep then 1 else 0 end) as bigint) as n_drop_words,
+  cast(sum(case when gw.keep and not rep.keep then 1 else 0 end) as bigint)
+    as n_drop_rep,
+  cast(sum(case when gw.keep and rep.keep then 1 else 0 end) as bigint) as n_keep,
+  cast(sum(case when gw.keep and rep.keep then tk else 0 end) as bigint)
+    as kept_tokens
+from tok join gw using (doc_id) join rep using (doc_id)
+group by source
+"""
+
+
+SQL_PIPELINE_CORPUS_GOPHER = _sql_pipeline_corpus_gopher()
 
 
 def _line_dedup_fixture(d: DataFrame) -> DataFrame:
@@ -3460,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_domain_budget": q_crawl_domain_budget,
         "crawl_host_rates": q_crawl_host_rates,
         "dedup_canonical": q_dedup_canonical,
+        "pipeline_corpus_gopher": q_pipeline_corpus_gopher,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3551,6 +3654,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
         "crawl_host_rates": SQL_CRAWL_HOST_RATES,
         "dedup_canonical": SQL_DEDUP_CANONICAL,
+        "pipeline_corpus_gopher": SQL_PIPELINE_CORPUS_GOPHER,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -298,3 +298,17 @@ def test_bucketed_fetch_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("drop table if exists t_pages_b")
         spark.sql("drop table if exists t_sel_b")
+
+
+def test_pipeline_corpus_gopher_plan_is_one_aggregation(spark, sf_dir):
+    """The composed Gopher filter (word rules + repetition rules + token
+    accounting) must stay ONE map-side plan + one partial-agg shuffle —
+    no join, no window, no Python (both halves are column exprs over
+    the same text)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["pipeline_corpus_gopher"](spark, sf_dir)
+    assert plans.python_eval_nodes(df) == []
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1
