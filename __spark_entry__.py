@@ -3609,6 +3609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # ---------------- position 50 boundary is above -----------------
+        # (re-verify with len(list(queries())[:50]) after ANY insertion:
+        # the 8 round-5 queries pushed dedup_containment..corpus_mix into
+        # the pool — all carry CORRECTNESS_r04 green rows, enforced by
+        # tests/test_driver_window.py)
+        # -- stable rotation pool: every key below has a driver-green row
+        #    in CORRECTNESS_r03/r04; rotates forward next round ----------
         "dedup_containment": q_dedup_containment,
         "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "link_pagerank": q_link_pagerank,
@@ -3617,9 +3624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_bucket": q_text_lm_bucket,
         "sketch_heavy_terms": q_sketch_heavy_terms,
         "corpus_mix": q_corpus_mix,
-        # ---------------- position 50 boundary is above -----------------
-        # -- stable rotation pool: every key below has a driver-green row
-        #    in CORRECTNESS_r03/r04; rotates forward next round ----------
         "link_extract": q_link_extract,
         "link_anchors": q_link_anchors,
         "link_resolve": q_link_resolve,

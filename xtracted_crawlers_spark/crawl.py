@@ -245,12 +245,39 @@ def bootstrap(
     new_rows = FR.ingest_seeds(seeds, existing, priority=priority, round_id=0)
     if host_scores is not None:
         new_rows = FR._conform(scheduler.with_host_priority(new_rows, host_scores))
-    full = existing.unionByName(new_rows) if existing is not None else new_rows
+    # one evaluation of the ingest DAG for its several consumers (count,
+    # filter merge, frontier union, jobs, trap fold)
+    new_rows = new_rows.cache()
     n_new = new_rows.count()
     if existing is not None and n_new == 0:
         # idempotent re-ingest with nothing new: skip the (full-rewrite)
         # snapshot commit entirely
+        new_rows.unpersist()
         return catalog.latest_snapshot(FRONTIER_TABLE)
+    # keep the seen pre-filter COMPLETE over the frontier: fold the new
+    # keys into the committed filter BEFORE the frontier commit (crash-
+    # safe direction, round-5 review #2: a filter key whose frontier row
+    # never landed is a harmless false positive — routed through the
+    # exact anti-join — while the reverse order leaves a committed
+    # frontier key the filter never learns: a FALSE NEGATIVE that lets a
+    # colliding variant bypass the anti-join, and the resume can't
+    # repair it because the re-ingest anti-join reports n_new=0. A crash
+    # between these two commits re-runs this merge on resume (the seeds
+    # still read as new); re-merging is safe — bloom OR is idempotent,
+    # cuckoo re-insert only duplicates fingerprints (FPR/capacity cost,
+    # never correctness).
+    if n_new > 0 and cfg is not None:
+        kind = seen_filter_kind(cfg)
+        table = _SEEN_TABLES.get(kind)
+        if table and catalog.exists(table):
+            merge = seen.merge_bloom if kind == "bloom" else cuckoo.merge_cuckoo
+            catalog.commit(
+                merge(catalog.load(spark, table), new_rows.select(*KEY), cfg.bloom_buckets),
+                table,
+                round_id=0,
+                metrics={"event": "bootstrap_ingest_filter", "new_urls": n_new},
+            )
+    full = existing.unionByName(new_rows) if existing is not None else new_rows
     sid = catalog.commit(
         full,
         FRONTIER_TABLE,
@@ -268,32 +295,27 @@ def bootstrap(
             round_id=0,
             metrics={"event": "bootstrap_ingest", "new_urls": n_new},
         )
-    # keep the seen pre-filter COMPLETE over the frontier: fold the new
-    # keys into the committed filter state (no-op before the first
-    # expansion round builds one; the anti-join alone deduped the seeds)
-    if n_new > 0 and cfg is not None:
-        kind = seen_filter_kind(cfg)
-        table = _SEEN_TABLES.get(kind)
-        if table and catalog.exists(table):
-            merge = seen.merge_bloom if kind == "bloom" else cuckoo.merge_cuckoo
-            catalog.commit(
-                merge(catalog.load(spark, table), new_rows.select(*KEY), cfg.bloom_buckets),
-                table,
-                round_id=0,
-                metrics={"event": "bootstrap_ingest_filter", "new_urls": n_new},
-            )
-        if cfg.trap_quarantine and catalog.exists(TRAP_STATE_TABLE):
-            from .operators import traps as traps_mod
+    # trap-state fold AFTER the frontier commit: the opposite order would
+    # double-count on a crash-resume (the re-ingest reads the seeds as
+    # new again and re-folds the counters), and inflated counts can
+    # permanently quarantine a good host. This order's failure mode is an
+    # under-count (the trap is noticed later) — the safe direction for a
+    # heuristic gate.
+    if n_new > 0 and cfg is not None and cfg.trap_quarantine and catalog.exists(
+        TRAP_STATE_TABLE
+    ):
+        from .operators import traps as traps_mod
 
-            catalog.commit(
-                traps_mod.merge_trap_state(
-                    catalog.load(spark, TRAP_STATE_TABLE),
-                    traps_mod.host_trap_state(new_rows),
-                ),
-                TRAP_STATE_TABLE,
-                round_id=0,
-                metrics={"event": "bootstrap_ingest_traps", "new_urls": n_new},
-            )
+        catalog.commit(
+            traps_mod.merge_trap_state(
+                catalog.load(spark, TRAP_STATE_TABLE),
+                traps_mod.host_trap_state(new_rows),
+            ),
+            TRAP_STATE_TABLE,
+            round_id=0,
+            metrics={"event": "bootstrap_ingest_traps", "new_urls": n_new},
+        )
+    new_rows.unpersist()
     return sid
 
 
@@ -557,18 +579,6 @@ def run_round(
         metrics["discovered"] = n_discovered
         new_frontier = new_frontier.unionByName(discovered.select(*fr.columns))
         delta = delta.unionByName(discovered.select(*fr.columns))
-        if trap_state is not None and n_discovered > 0:
-            # fold the round's discoveries into the trap state — O(delta)
-            from .operators import traps as traps_mod
-
-            catalog.commit(
-                traps_mod.merge_trap_state(
-                    trap_state, traps_mod.host_trap_state(discovered)
-                ),
-                TRAP_STATE_TABLE,
-                round_id=round_id,
-                metrics={"event": "trap_state_fold", "new_urls": n_discovered},
-            )
         if filt_kind != "none":
             if filt is not None:
                 # filter state is loaded once above; only the round's
@@ -607,6 +617,34 @@ def run_round(
             round_id=round_id, metrics=metrics, metrics_cb=_observed_metrics,
         )
     metrics.update(_observed_metrics())
+
+    # trap-state fold AFTER the frontier commit (round-5 review #3):
+    # folding first would double-count a crash-resumed round's
+    # re-discoveries (merge_trap_state sums counters; only the HLL part
+    # is idempotent), and inflated n_urls-vs-n_paths can permanently
+    # quarantine a legitimate query-heavy host. This order fails the
+    # SAFE way: a crash between the two commits under-counts (the trap
+    # is detected a round late), never over-quarantines. Like the
+    # bookkeeping tables below, the fold reads the JUST-COMMITTED
+    # snapshot (discovered rows are stamped round_id+1) instead of the
+    # in-memory lineage — re-evaluating `discovered` here would re-run
+    # the whole discovery DAG a third time (round-5 review #5; caching
+    # it instead breaks the extraction Observation the frontier commit
+    # resolves, measured as a JVM metrics-row assertion).
+    if cfg.expand_variants and trap_state is not None and n_discovered > 0:
+        from .operators import traps as traps_mod
+
+        committed_discoveries = catalog.load(spark, FRONTIER_TABLE, sid).filter(
+            F.col("round") == round_id + 1
+        )
+        catalog.commit(
+            traps_mod.merge_trap_state(
+                trap_state, traps_mod.host_trap_state(committed_discoveries)
+            ),
+            TRAP_STATE_TABLE,
+            round_id=round_id,
+            metrics={"event": "trap_state_fold", "new_urls": n_discovered},
+        )
 
     # --- bookkeeping tables (quota, jobs) -----------------------------------
     # derived from the JUST-COMMITTED snapshot (a tiny delta-file read),

@@ -56,7 +56,38 @@ def stream_seed_ingest(
         existing = (
             load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
         )
-        new_rows = FR.ingest_seeds(batch_df, existing, round_id=state["round"])
+        new_rows = FR.ingest_seeds(batch_df, existing, round_id=state["round"]).cache()
+        n_new = new_rows.count()
+        # keep the seen pre-filter complete over the frontier, same as
+        # crawl.bootstrap and in the same CRASH-SAFE ORDER (filter merge
+        # BEFORE the frontier commit — a filter key without its frontier
+        # row is a harmless false positive; the reverse order leaves a
+        # frontier key the filter never learns, a false negative the
+        # at-least-once re-delivery cannot repair because the re-ingest
+        # anti-join reports n_new=0). Guarded on n_new: a re-delivered
+        # duplicate batch must not rewrite every filter bucket for a
+        # no-op (round-5 review #6).
+        from ..crawl import TRAP_STATE_TABLE, _SEEN_TABLES, seen_filter_kind
+
+        filt_table = _SEEN_TABLES.get(seen_filter_kind(cfg))
+        if n_new > 0 and filt_table and catalog.exists(filt_table):
+            from .. import cuckoo, seen
+
+            merge = (
+                seen.merge_bloom
+                if filt_table == "seen_bloom"
+                else cuckoo.merge_cuckoo
+            )
+            catalog.commit(
+                merge(
+                    catalog.load(spark, filt_table),
+                    new_rows.select("user_id", "job_id", "url_id"),
+                    cfg.bloom_buckets,
+                ),
+                filt_table,
+                round_id=state["round"],
+                metrics={"event": "stream_ingest_filter", "batch_id": batch_id},
+            )
         # ingested rows are NEW keys — in delta mode commit only them
         # (merge-on-read unions them in), never a full-frontier rewrite
         # per seed batch; periodic compaction bounds read amplification
@@ -86,37 +117,30 @@ def stream_seed_ingest(
         # (round-2 advice, medium)
         from .. import quota as QT
 
-        if catalog.exists(QT.JOBS_TABLE):
+        if n_new > 0 and catalog.exists(QT.JOBS_TABLE):
             catalog.commit(
                 QT.jobs_apply_ingest(catalog.load(spark, QT.JOBS_TABLE), new_rows),
                 QT.JOBS_TABLE,
                 round_id=state["round"],
                 metrics={"event": "stream_ingest_jobs", "batch_id": batch_id},
             )
-        # keep the seen pre-filter complete over the frontier, same as
-        # crawl.bootstrap: a committed filter that misses ingested keys
-        # would later pass a colliding variant around the exact anti-join
-        from ..crawl import _SEEN_TABLES, seen_filter_kind
+        # trap state learns the ingested rows too (round-5 review #1 —
+        # this was the one ingest channel that skipped it), AFTER the
+        # frontier commit like bootstrap: a crash under-counts, never
+        # double-counts into a permanent quarantine
+        if n_new > 0 and cfg.trap_quarantine and catalog.exists(TRAP_STATE_TABLE):
+            from ..operators import traps as traps_mod
 
-        filt_table = _SEEN_TABLES.get(seen_filter_kind(cfg))
-        if filt_table and catalog.exists(filt_table):
-            from .. import cuckoo, seen
-
-            merge = (
-                seen.merge_bloom
-                if filt_table == "seen_bloom"
-                else cuckoo.merge_cuckoo
-            )
             catalog.commit(
-                merge(
-                    catalog.load(spark, filt_table),
-                    new_rows.select("user_id", "job_id", "url_id"),
-                    cfg.bloom_buckets,
+                traps_mod.merge_trap_state(
+                    catalog.load(spark, TRAP_STATE_TABLE),
+                    traps_mod.host_trap_state(new_rows),
                 ),
-                filt_table,
+                TRAP_STATE_TABLE,
                 round_id=state["round"],
-                metrics={"event": "stream_ingest_filter", "batch_id": batch_id},
+                metrics={"event": "stream_ingest_traps", "batch_id": batch_id},
             )
+        new_rows.unpersist()
         state["round"] += 1
         run_round(spark, catalog, pages, state["round"], cfg, rules)
 
