@@ -2508,6 +2508,65 @@ from j join reps using (component)
 """
 
 
+_SUBSTR_K = 8
+_SUBSTR_BOILER_A = (
+    " subscribe to our newsletter for updates and exclusive offers today only"
+)
+_SUBSTR_BOILER_B = (
+    " cookie policy we use cookies to improve your experience on our site"
+)
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021): maximal token spans
+    shared verbatim across >= 2 documents, via rolling k=8-word window
+    hashes + gaps-and-islands merge (dedup.duplicated_spans — one
+    hash-keyed aggregation shuffle, a semi join, a per-doc window; no
+    suffix array). The fixture injects two boilerplate sentences
+    (doc_id % 3 a newsletter footer, % 5 a cookie banner — % 15 docs get
+    both, adjacent, so the straddling windows merge the two regions into
+    one span); the synthetic text's own phrase repeats also surface,
+    which is the point — the operator finds ALL cross-doc spans."""
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit(_SUBSTR_BOILER_A)).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(_SUBSTR_BOILER_B)).otherwise(F.lit("")),
+    )
+    fixed = _t(spark, sf_dir, "documents").select("doc_id", t.alias("text"))
+    return dedup.duplicated_spans(fixed, k=_SUBSTR_K)
+
+
+_SQL_SUBSTR_FIXTURE = (
+    "text"
+    f" || case when doc_id % 3 = 0 then '{_SUBSTR_BOILER_A}' else '' end"
+    f" || case when doc_id % 5 = 0 then '{_SUBSTR_BOILER_B}' else '' end"
+)
+
+SQL_DEDUP_SUBSTRING = f"""
+with d as (select doc_id, {_SQL_SUBSTR_FIXTURE} as t from documents),
+w as (select doc_id, string_split_regex(trim(t), '\\s+') as ws from d),
+wins as (select doc_id, cast(i - 1 as bigint) as pos,
+           md5(array_to_string(ws[i:i+{_SUBSTR_K - 1}], ' ')) as whash
+         from w, unnest(range(1, len(ws) - {_SUBSTR_K} + 2)) as r(i)
+         where len(ws) >= {_SUBSTR_K}),
+dup as (select whash from wins group by whash having count(distinct doc_id) >= 2),
+hits as (select doc_id, pos from wins where whash in (select whash from dup)),
+isl as (select doc_id, pos,
+          case when lag(pos) over (partition by doc_id order by pos) is null
+                 or pos - lag(pos) over (partition by doc_id order by pos) > {_SUBSTR_K}
+               then 1 else 0 end as nw
+        from hits),
+isl2 as (select doc_id, pos,
+           sum(nw) over (partition by doc_id order by pos rows unbounded preceding) as island
+         from isl)
+select doc_id, min(pos) as span_start,
+       cast(max(pos) + {_SUBSTR_K - 1} as bigint) as span_end,
+       count(*) as n_windows
+from isl2 group by doc_id, island
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
@@ -3563,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_rates": q_crawl_host_rates,
         "dedup_canonical": q_dedup_canonical,
         "pipeline_corpus_gopher": q_pipeline_corpus_gopher,
+        "dedup_substring": q_dedup_substring,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3659,6 +3719,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_rates": SQL_CRAWL_HOST_RATES,
         "dedup_canonical": SQL_DEDUP_CANONICAL,
         "pipeline_corpus_gopher": SQL_PIPELINE_CORPUS_GOPHER,
+        "dedup_substring": SQL_DEDUP_SUBSTRING,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -724,3 +724,112 @@ def test_canonical_docs_selection_and_shape(spark):
 
     assert "Window" not in plans.physical_plan(out)
     assert plans.python_eval_nodes(out) == []
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2021 — dedup.duplicated_spans)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, k=4, min_docs=2):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicated_spans(docs, k=k, min_docs=min_docs).collect()
+    return sorted((r.doc_id, r.span_start, r.span_end, r.n_windows) for r in out)
+
+
+def test_substring_spans_basic_shared_sentence(spark):
+    # docs 1 and 2 share an exact 6-token run at different offsets;
+    # doc 3 is unrelated
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, f"{shared} and then some more words"),
+        (2, f"totally different lead in here {shared}"),
+        (3, "nothing in common with anybody at all whatsoever today"),
+    ]
+    got = _spans(spark, rows, k=4)
+    # 6 tokens, k=4 -> 3 windows; doc1 run starts at 0, doc2 at 5
+    assert got == [(1, 0, 5, 3), (2, 5, 10, 3)]
+
+
+def test_substring_spans_short_docs_and_min_docs(spark):
+    rows = [
+        (1, "a b c"),                      # shorter than k -> no windows
+        (2, "x y z w x y z w x y z w"),    # internal repetition only
+        (3, "completely unrelated content of twelve tokens for padding out"),
+    ]
+    # min_docs=2 counts DISTINCT docs: doc 2's self-repeats don't qualify
+    assert _spans(spark, rows, k=4) == []
+
+
+def test_substring_spans_merge_rule_token_contiguity(spark):
+    # Windows at gap == k have touching token coverage -> ONE span;
+    # gap == k+1 leaves a one-token hole -> two spans. Construct via two
+    # shared runs separated by per-doc unique filler of width k-? tokens.
+    k = 4
+    runA = "alpha beta gamma delta"          # 4 tokens -> 1 window
+    runB = "epsilon zeta eta theta"          # 4 tokens -> 1 window
+    # gap between window starts = len(runA tokens) + filler
+    for filler_n, want in [(k - 4, 1), (k + 1 - 4 + 1, 2)]:
+        rows = []
+        for d in (1, 2):
+            filler = " ".join(f"u{d}f{j}" for j in range(filler_n))
+            text = f"{runA} {filler} {runB}".replace("  ", " ").strip()
+            rows.append((d, text))
+        got = _spans(spark, rows, k=k)
+        per_doc = [g for g in got if g[0] == 1]
+        assert len(per_doc) == want, (filler_n, got)
+
+
+def test_substring_span_stats_never_double_counts(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [(d, f"lead{d} {shared} mid{d} {shared} tail{d}") for d in (1, 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r.doc_id: r for r in dedup.duplicated_span_stats(docs, k=4).collect()}
+    for d in (1, 2):
+        r = st[d]
+        assert r.dup_tokens <= r.total_tokens
+        assert r.n_spans == 2
+        assert r.dup_frac_pct == r.dup_tokens * 100 // r.total_tokens
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """Cross-check against a pure-Python suffix-free brute force on a
+    small random-ish corpus with planted boilerplate."""
+    import hashlib
+
+    k = 5
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = "pb1 pb2 pb3 pb4 pb5 pb6 pb7"
+    rows = []
+    for d in range(12):
+        h = int(hashlib.md5(str(d).encode()).hexdigest(), 16)
+        words = [vocab[(h >> (4 * j)) % len(vocab)] for j in range(14)]
+        if d % 3 == 0:
+            words[5:5] = boiler.split()
+        rows.append((d, " ".join(words)))
+
+    # brute force: same window-hash + island logic in plain Python
+    from collections import Counter, defaultdict
+
+    wins = defaultdict(list)  # doc -> positions of duplicated windows
+    seen = defaultdict(set)   # window text -> docs
+    toks = {d: t.split() for d, t in rows}
+    for d, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            seen[" ".join(ws[p : p + k])].add(d)
+    for d, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            if len(seen[" ".join(ws[p : p + k])]) >= 2:
+                wins[d].append(p)
+    want = []
+    for d, ps in wins.items():
+        start = prev = ps[0]
+        nw = 1
+        for p in ps[1:]:
+            if p - prev > k:
+                want.append((d, start, prev + k - 1, nw))
+                start, nw = p, 0
+            prev = p
+            nw += 1
+        want.append((d, start, prev + k - 1, nw))
+    assert _spans(spark, rows, k=k) == sorted(want)

@@ -672,3 +672,132 @@ def canonical_docs(
         F.col(score_col),
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )
+
+
+def window_hashes(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, whash): md5 of EVERY k-word window of the document
+    (pos = 0-based token index of the window start). Unlike
+    ``shingle_array`` this keeps positions and duplicates — the span
+    detector below needs to know WHERE a window sits, not just that the
+    doc contains it. Window generation is a per-row codegen'd
+    transform + explode: zero shuffles. Full 128-bit md5 keys: at
+    10^13 windows a 64-bit truncation would already be past its
+    birthday bound, and the fixed 32-char key is what bounds shuffle
+    row width regardless of k."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(words, i, k))).alias("whash"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.whash").alias("whash"))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication, the Lee et al. 2021 operator
+    ("Deduplicating Training Data Makes Language Models Better"): find
+    maximal token spans that appear verbatim in >= min_docs DISTINCT
+    documents. The paper builds one giant suffix array; the
+    shuffle-native equivalent is rolling k-token window hashes — a span
+    of length L >= k duplicated across docs is exactly a run of L-k+1
+    consecutive duplicated windows, so merging duplicated window
+    positions (gaps-and-islands) recovers the maximal spans without any
+    global suffix structure. Two window runs merge when their TOKEN
+    coverage touches (start gap <= k): a window at pos covers tokens
+    [pos, pos+k-1], so splitting only on gap > k makes the output spans
+    maximal, non-overlapping duplicated-token regions — each token is
+    in at most one span, which is what lets the stats rollup below
+    count duplicated tokens without double counting.
+
+    Output: (doc_id, span_start, span_end, n_windows) — token-index
+    spans, end inclusive (span_end = last window pos + k - 1);
+    n_windows = duplicated k-windows starting inside the region.
+
+    Plan at 100 TB: window build is map-side; ONE aggregation shuffle
+    keyed on the 128-bit window hash (partial countDistinct combines
+    map-side; boilerplate mega-hashes are one (hash,doc) pair per doc,
+    uniform after the partial), a semi join back on the same key (AQE
+    skew-split handles a hash shared by 1e9 docs), and a per-doc window
+    for the island merge — partitioned by doc_id, so the sort is
+    per-document sized. No suffix array, no global sort, no Python.
+
+    Reference scope note: the reference engine (jobomix/xtracted-crawlers)
+    has no dedup surface at all — this is training-pipeline surface per
+    the task brief, like the minhash/simhash family above.
+    """
+    from pyspark.sql import Window
+
+    wh = window_hashes(docs, k=k, id_col=id_col, text_col=text_col)
+    dup = (
+        wh.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("whash")
+    )
+    hits = wh.join(dup, "whash", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc rollup of ``duplicated_spans``: how much of each document
+    is verbatim-shared material. (doc_id, n_spans, dup_tokens,
+    total_tokens, dup_frac_pct) — dup_frac_pct is an integer percent so
+    the keep-threshold comparison stays float-free."""
+    spans = duplicated_spans(docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("total_tokens"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        "total_tokens",
+        # integer `div`, not float-divide-then-cast: Spark's double->long
+        # cast truncates while DuckDB's rounds, so any oracle over this
+        # column must see the same all-integer tree
+        F.expr("(coalesce(dup_tokens, 0) * 100) div greatest(total_tokens, 1)").alias(
+            "dup_frac_pct"
+        ),
+    )
