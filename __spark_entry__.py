@@ -1912,6 +1912,68 @@ from documents
 SQL_CORPUS_SPLIT = _sql_corpus_split()
 
 
+_DSIR_N_BUCKETS = 256
+_DSIR_MARK_EN = " relevance retrieval pretraining corpus quality"
+_DSIR_MARK_PART = " retrieval corpus"
+
+
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc importance
+    log-weight = sum over hashed unigram+bigram features of
+    log p_target(f) - log p_raw(f), add-one smoothed; target = the
+    lang='en' slice, raw = the whole pool. The synthetic corpus shares
+    one vocabulary across langs, so the fixture plants target-marker
+    tokens on the en docs and a PARTIAL marker on every doc_id%7 doc —
+    the %7 non-en docs land between the extremes, exercising the
+    gradient rather than a binary split. Deterministic sorted-fold sum
+    (bm25's exact_fold device) makes the float hash-exact vs DuckDB."""
+    from xtracted_crawlers_spark.operators import sampling
+
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("lang") == "en", F.lit(_DSIR_MARK_EN)).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(_DSIR_MARK_PART)).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", t.alias("text"))
+    target = docs.filter(F.col("lang") == "en")
+    return sampling.dsir_logweights(docs, target, n_buckets=_DSIR_N_BUCKETS)
+
+
+_SQL_DSIR_FIXTURE = (
+    "text"
+    f" || case when lang = 'en' then '{_DSIR_MARK_EN}' else '' end"
+    f" || case when doc_id % 7 = 0 then '{_DSIR_MARK_PART}' else '' end"
+)
+
+SQL_TEXT_DSIR = f"""
+with d as (select doc_id, lang, lower(trim({_SQL_DSIR_FIXTURE})) as t from documents),
+toks as (select doc_id, lang, string_split_regex(t, '\\s+') as ws from d),
+uni as (select doc_id, lang, unnest(ws) as feat from toks),
+bi as (select doc_id, lang,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) as feat
+       from toks where len(ws) >= 2),
+f0 as (select * from uni union all select * from bi),
+feats as (select doc_id, lang,
+            ('0x' || substr(md5(feat), 1, 8))::bigint % {_DSIR_N_BUCKETS} as bucket
+          from f0 where feat <> ''),
+ct as (select bucket, count(*) as ct from feats where lang = 'en' group by bucket),
+cr as (select bucket, count(*) as cr from feats group by bucket),
+tt as (select cast(count(*) as double) as tt from feats where lang = 'en'),
+rt as (select cast(count(*) as double) as rt from feats),
+lr as (select cr.bucket,
+         ln((coalesce(ct.ct, 0)::double + 1.0) / (tt.tt + {float(_DSIR_N_BUCKETS)}))
+       - ln((cr.cr::double + 1.0) / (rt.rt + {float(_DSIR_N_BUCKETS)})) as lr
+       from cr left join ct using (bucket) cross join tt cross join rt),
+w as (select doc_id, count(*) as n_feats,
+        round(list_dot_product(list(lr.lr order by lr.bucket),
+                               list(1.0 order by lr.bucket)), 4) as dsir_logweight
+      from feats join lr using (bucket) group by doc_id)
+select doc_id, n_feats, dsir_logweight, dsir_logweight > 0 as selected from w
+"""
+
+
 def _repetition_fixture_col() -> F.Column:
     """Line-structured fixture text, derivable identically in DuckDB: the
     corpus docs carry no newlines, so ' merge ' occurrences become line
@@ -3623,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "pipeline_corpus_gopher": q_pipeline_corpus_gopher,
         "dedup_substring": q_dedup_substring,
+        "text_dsir": q_text_dsir,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3720,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": SQL_DEDUP_CANONICAL,
         "pipeline_corpus_gopher": SQL_PIPELINE_CORPUS_GOPHER,
         "dedup_substring": SQL_DEDUP_SUBSTRING,
+        "text_dsir": SQL_TEXT_DSIR,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -833,3 +833,78 @@ def test_substring_spans_match_bruteforce(spark):
             nw += 1
         want.append((d, start, prev + k - 1, nw))
     assert _spans(spark, rows, k=k) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023 — sampling.dsir_logweights)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_matches_pure_python(spark):
+    """Bit-for-bit (to 4dp) cross-check of the whole DSIR computation
+    against a plain-Python reimplementation."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from xtracted_crawlers_spark.operators import sampling
+
+    B = 64
+    pool = [
+        (1, "alpha beta gamma alpha"),
+        (2, "delta epsilon zeta"),
+        (3, "alpha beta unrelated filler words"),
+        (4, "zz yy xx ww vv"),
+    ]
+    target = [(10, "alpha beta gamma"), (11, "beta gamma alpha alpha")]
+
+    def feats(text):
+        ws = text.lower().strip().split()
+        fs = list(ws) + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B for f in fs if f]
+
+    rawc, tgtc = Counter(), Counter()
+    for _, t in pool:
+        rawc.update(feats(t))
+    for _, t in target:
+        tgtc.update(feats(t))
+    rt, tt = sum(rawc.values()), sum(tgtc.values())
+
+    def weight(text):
+        lrs = sorted(
+            (b, math.log((tgtc[b] + 1.0) / (tt + B)) - math.log((rawc[b] + 1.0) / (rt + B)))
+            for b in feats(text)
+        )
+        acc = 0.0
+        for _, lr in lrs:
+            acc += lr
+        return round(acc, 4)
+
+    docs = spark.createDataFrame(pool, "doc_id long, text string")
+    tgt = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logweight, r.selected)
+        for r in sampling.dsir_logweights(docs, tgt, n_buckets=B).collect()
+    }
+    for d, t in pool:
+        w = weight(t)
+        nf = len(feats(t))
+        assert got[d] == (nf, w, w > 0), (d, got[d], w)
+    # semantic direction: target-like doc 1 beats junk doc 4
+    assert got[1][1] > got[4][1]
+
+
+def test_dsir_plan_is_broadcast_and_shuffle_lean(spark):
+    """The bucket log-ratio table must join back as a BROADCAST (it is
+    n_buckets rows); no Python eval nodes anywhere."""
+    from xtracted_crawlers_spark import plans
+    from xtracted_crawlers_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} w{i % 5}") for i in range(60)], "doc_id long, text string"
+    )
+    tgt = docs.filter(F.col("doc_id") % 2 == 0)
+    out = sampling.dsir_logweights(docs, tgt, n_buckets=32)
+    pp = plans.physical_plan(out)
+    assert "BroadcastHashJoin" in pp or "BroadcastNestedLoopJoin" in pp
+    assert plans.python_eval_nodes(out) == []

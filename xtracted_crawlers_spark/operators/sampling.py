@@ -110,3 +110,120 @@ def train_val_test_split(
 def sql_hash_slot(key_expr: str, salt: str) -> str:
     """DuckDB mirror of hash_slot for the contract oracles."""
     return f"substr(md5(cast({key_expr} as varchar) || '{salt}'), 1, {_SLOT_HEX})"
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+
+def dsir_features(
+    docs: DataFrame,
+    n_buckets: int = _DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket): hashed unigram + bigram features WITH
+    multiplicity — the DSIR feature map. Tokens are lowercased
+    whitespace words; the bucket is the first 8 hex chars of the md5 of
+    the feature string mod n_buckets (md5 so the DuckDB oracle
+    reproduces every bucket bit-for-bit; 8 hex chars = 32 bits, far
+    above any sane n_buckets). Map-side only: split + transform +
+    explode, no shuffle."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(words, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(feats).alias("feat"))
+        .filter(F.col("feat") != "")
+        .select("doc_id", bucket.alias("bucket"))
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = _DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: for every hashed n-gram
+    feature f in the doc, add log p_target(f) - log p_raw(f), where both
+    distributions are add-one-smoothed bucket frequencies (target =
+    ``target_docs``, raw = ``docs`` — the candidate pool itself, as in
+    the paper's raw distribution). Documents whose feature profile looks
+    more like the target than like the pool score > 0.
+
+    Output: (doc_id, n_feats, dsir_logweight, selected) with
+    selected = dsir_logweight > 0 — the importance-resampling keep set
+    under the neutral threshold. For top-k selection compose with a
+    window or threshold of the caller's choice.
+
+    Plan at 100 TB: featurize is map-side; the two distribution builds
+    are bucket-keyed aggregations whose output is n_buckets rows —
+    driver-free, and the log-ratio table joins back as a BROADCAST
+    (n_buckets ≤ thousands). The per-doc sum is one doc-keyed
+    aggregation using the deterministic sorted fold (same device as
+    bm25's exact_fold: equal buckets carry equal addends, so the sorted
+    fold's float result is unique) — bit-reproducible for the oracle.
+    """
+    feats = dsir_features(docs, n_buckets, id_col=id_col, text_col=text_col)
+    tfeats = dsir_features(target_docs, n_buckets, id_col=id_col, text_col=text_col)
+    tcnt = tfeats.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rcnt = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    # totals as 1-row crossJoin (scalar agg), constant-folded identically
+    # in the oracle; add-one smoothing over n_buckets cells
+    tt = tfeats.agg(F.count("*").cast("double").alias("tt"))
+    rt = feats.agg(F.count("*").cast("double").alias("rt"))
+    lr = (
+        rcnt.join(tcnt, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("rt") + F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bucket", "lr"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["lr"],
+                ),
+                round_dp,
+            ).alias("dsir_logweight"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        "dsir_logweight",
+        (F.col("dsir_logweight") > 0).alias("selected"),
+    )
