@@ -3560,6 +3560,56 @@ SQL_SIM_ANN_IVF = _sql_ann_ivf()
 SQL_SIM_NEAR_DUP_LSH = _sql_near_dup_lsh()
 
 
+_SEMDEDUP_THRESHOLD = 0.25
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): IVF-cluster the
+    embeddings (md5-default codebook — oracle-reproducible), then drop
+    any item whose cosine to an earlier-id cluster member reaches 0.25
+    (picked against this corpus's within-cluster cosine p99 ≈ 0.32 so
+    both branches fire). keep compares the UNROUNDED max — the zip_with
+    fold is bit-identical to DuckDB's list_dot_product, proven by the
+    sim_ann_* oracles."""
+    return similarity.semdedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_THRESHOLD,
+        n_clusters=8,
+        dim=_ANN_DIM,
+    )
+
+
+def _sql_semdedup(n_clusters: int = 8) -> str:
+    from xtracted_crawlers_spark.operators.similarity import default_codebook
+
+    code = default_codebook(n_clusters, _ANN_DIM)
+    cent = ", ".join(f"({c}, {_dbl_arr(code[c])})" for c in range(n_clusters))
+    return f"""
+with n as (select vec_id as id, cast(embedding as double[]) as v from embeddings),
+cent(c, cv) as (values {cent}),
+assign as (select id, c as cluster from (
+    select id, c, row_number() over (
+        partition by id order by list_dot_product(v, cv) desc, c asc) as rn
+    from n cross join cent) where rn = 1),
+j as (select a.id as id_a, b.id as id_b
+      from assign a join assign b on a.cluster = b.cluster and a.id < b.id),
+mp as (select id_b as id,
+         max(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v)))) as mx
+       from j join n x on x.id = id_a join n y on y.id = id_b
+       group by id_b),
+o as (select assign.id, assign.cluster, mp.mx
+      from assign left join mp using (id))
+select id as vec_id, cluster,
+       round(coalesce(mx, -1.0), 4) as max_prior_cosine,
+       coalesce(mx, -1.0) < {_SEMDEDUP_THRESHOLD} as keep
+from o
+"""
+
+
+SQL_SIM_SEMDEDUP = _sql_semdedup()
+
+
 # ---------------------------------------------------------------------------
 # multimodal (decode stubbed behind a codec gate; outputs still oracle-exact)
 # ---------------------------------------------------------------------------
@@ -3686,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_gopher": q_pipeline_corpus_gopher,
         "dedup_substring": q_dedup_substring,
         "text_dsir": q_text_dsir,
+        "sim_semdedup": q_sim_semdedup,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3784,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_corpus_gopher": SQL_PIPELINE_CORPUS_GOPHER,
         "dedup_substring": SQL_DEDUP_SUBSTRING,
         "text_dsir": SQL_TEXT_DSIR,
+        "sim_semdedup": SQL_SIM_SEMDEDUP,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

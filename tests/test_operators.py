@@ -908,3 +908,69 @@ def test_dsir_plan_is_broadcast_and_shuffle_lean(spark):
     pp = plans.physical_plan(out)
     assert "BroadcastHashJoin" in pp or "BroadcastNestedLoopJoin" in pp
     assert plans.python_eval_nodes(out) == []
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023 — similarity.semdedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_triangular_rule_drops_whole_chain(spark):
+    """a~b and b~c above threshold with a!~c: the paper's rule compares
+    vs ALL earlier items (not only kept ones), so BOTH b and c drop."""
+    from xtracted_crawlers_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.96, 0.28, 0.0]),   # cos(1,2) ~ 0.96
+        (3, [0.85, 0.53, 0.0]),   # cos(2,3) ~ 0.96, cos(1,3) ~ 0.85
+        (4, [0.0, 0.0, 1.0]),     # orthogonal: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.keep, r.max_prior_cosine)
+        for r in similarity.semdedup(
+            df, threshold=0.9, codebook=[[1.0, 0.0, 0.0]], dim=3
+        ).collect()
+    }
+    assert got[1][0] is True and got[1][1] == -1.0
+    assert got[2][0] is False
+    assert got[3][0] is False          # dropped via b even though cos(a,c) < T
+    assert got[4][0] is True
+
+
+def test_semdedup_only_compares_within_cluster(spark):
+    """Near-identical vectors in DIFFERENT clusters are both kept — the
+    documented IVF recall trade, pinned so it stays a deliberate
+    property, not an accident."""
+    from xtracted_crawlers_spark.operators import similarity
+
+    # axis-aligned codebook: x-ish vectors -> cluster 0, y-ish -> 1
+    rows = [
+        (1, [1.0, 0.05]),
+        (2, [0.05, 1.0]),
+        (3, [0.06, 1.0]),  # ~identical to 2, same cluster -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.keep, r.cluster)
+        for r in similarity.semdedup(
+            df, threshold=0.95, codebook=[[1.0, 0.0], [0.0, 1.0]], dim=2
+        ).collect()
+    }
+    assert got[1] == (True, 0)
+    assert got[2] == (True, 1)
+    assert got[3][0] is False and got[3][1] == 1
+
+
+def test_semdedup_plan_no_python_and_equi_join(spark):
+    from xtracted_crawlers_spark import plans
+    from xtracted_crawlers_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.semdedup(emb, threshold=0.25, n_clusters=8, dim=64)
+    pp = plans.physical_plan(out)
+    assert plans.python_eval_nodes(out) == []
+    # the quadratic piece must be an equi join on cluster, never a
+    # cartesian/broadcast-nested-loop over the whole table
+    assert "CartesianProduct" not in pp and "BroadcastNestedLoopJoin" not in pp

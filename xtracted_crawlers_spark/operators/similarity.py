@@ -386,3 +386,62 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semdedup(
+    items: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    dim: int = 64,
+    codebook: Optional[list[list[float]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with the IVF coarse quantizer, then WITHIN each cluster
+    drop every item whose cosine to an earlier-ordered cluster member
+    reaches the threshold — the paper's triangular max-similarity rule,
+    with id order as the deterministic scan order (the paper orders by
+    distance-to-centroid; any fixed order yields one representative per
+    duplicate chain).
+
+    Output: (vec_id, cluster, max_prior_cosine, keep) — max_prior_cosine
+    is -1.0 for items with no earlier cluster member (always kept).
+
+    Plan at 100 TB: the only quadratic piece is the within-cluster
+    self-join, an equi join on the cluster id, so cost is sum of
+    cluster_size² — the caller controls it entirely through k
+    (k ≈ n/1e4 keeps clusters joinable; the paper itself uses k in the
+    tens of thousands for web scale). Cluster assignment is a per-row
+    codegen'd argmax (ivf_assign), the max-prior reduction is a partial
+    max groupBy, and the codebook is k·dim literals — nothing touches
+    the driver but the codebook. Use ``kmeans_codebook`` for trained
+    centroids; the md5 default keeps the DuckDB oracle reproducible."""
+    if codebook is None:
+        codebook = default_codebook(n_clusters, dim)
+    n = with_norm(items, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("_v").alias("v"),
+        F.col("_norm").alias("nrm"),
+        ivf_assign("_v", codebook).alias("cluster"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    prior_max = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(
+            F.max(
+                _cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"))
+            ).alias("mx")
+        )
+    )
+    return (
+        n.join(prior_max, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.round(F.coalesce(F.col("mx"), F.lit(-1.0)), 4).alias("max_prior_cosine"),
+            (F.coalesce(F.col("mx"), F.lit(-1.0)) < threshold).alias("keep"),
+        )
+    )
