@@ -2149,6 +2149,100 @@ _SQL_GOPHER_FIXTURE = (
     " || case when doc_id % 11 = 0 then ' ' || repeat('12345678901 ', 4) else '' end"
 )
 
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2): line rules
+    (terminal punctuation, >=3 words, no 'javascript') drop lines; page
+    rules (>=5 sentences after cleaning, no 'lorem ipsum', no '{', no
+    blocklisted word) drop documents. The fixture synthesizes line
+    structure from the single-line documents table so every rule fires
+    both ways: two always-kept sentences, a 2-word line and an
+    unpunctuated line (always dropped), doc_id%3 a javascript line,
+    %5 lorem ipsum, %7 a brace line, %11 a blockword line, and %8
+    repeated sentences that swing the >=5-sentence page rule. The
+    cleaned text itself is an output column — hash-exactness proves the
+    line filter byte-for-byte, not just the flags."""
+    i = F.col("doc_id")
+    t = F.concat(
+        F.substring("text", 1, 120),
+        F.lit(".\n"),
+        F.substring("text", 1, 40),
+        F.lit("?\n"),
+        F.lit("tiny line.\n"),
+        F.lit("no terminal punctuation here\n"),
+        F.when(i % 3 == 0, F.lit("please enable javascript to continue.\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 5 == 0, F.lit("lorem ipsum dolor sit amet.\n")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("function f() { return 1; } ok.\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 11 == 0, F.lit("badword1 appears in this line.\n")).otherwise(
+            F.lit("")
+        ),
+        F.repeat(F.lit("more words follow here today. "), (i % 8).cast("int")),
+    )
+    stats = textops.c4_stats(t)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        *[c.alias(n) for n, c in stats.items()],
+        textops.c4_keep(t).alias("keep"),
+        textops.c4_clean(t).alias("cleaned"),
+    )
+
+
+_SQL_C4_FIXTURE = (
+    "substr(text, 1, 120) || '.' || chr(10)"
+    " || substr(text, 1, 40) || '?' || chr(10)"
+    " || 'tiny line.' || chr(10)"
+    " || 'no terminal punctuation here' || chr(10)"
+    " || case when doc_id % 3 = 0 then 'please enable javascript to continue.'"
+    " || chr(10) else '' end"
+    " || case when doc_id % 5 = 0 then 'lorem ipsum dolor sit amet.' || chr(10)"
+    " else '' end"
+    " || case when doc_id % 7 = 0 then 'function f() { return 1; } ok.' || chr(10)"
+    " else '' end"
+    " || case when doc_id % 11 = 0 then 'badword1 appears in this line.' || chr(10)"
+    " else '' end"
+    " || repeat('more words follow here today. ', cast(doc_id % 8 as int))"
+)
+
+SQL_TEXT_C4_FILTERS = f"""
+with d as (select doc_id, {_SQL_C4_FIXTURE} as t from documents),
+l as (select doc_id,
+        list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                    x -> x <> '') as lines
+      from d),
+k as (select doc_id, lines,
+        array_to_string(
+          list_filter(lines, x ->
+            (x like '%.' or x like '%!' or x like '%?' or x like '%"')
+            and len(string_split_regex(x, '\\s+')) >= 3
+            and not contains(lower(x), 'javascript')),
+          chr(10)) as cleaned
+      from l),
+s as (select doc_id,
+        cast(len(lines) as integer) as n_lines,
+        cast(len(string_split(cleaned, chr(10))) as integer)
+          - cast(cleaned = '' as integer) as kept_lines,
+        cast((length(cleaned) - length(replace(cleaned, '.', '')))
+           + (length(cleaned) - length(replace(cleaned, '!', '')))
+           + (length(cleaned) - length(replace(cleaned, '?', '')))
+          as integer) as n_sentences,
+        contains(lower(cleaned), 'lorem ipsum') as has_lorem,
+        contains(cleaned, '{{') as has_brace,
+        (contains(lower(cleaned), 'badword1')
+         or contains(lower(cleaned), 'badword2')) as has_blockword,
+        cleaned
+      from k)
+select doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
+       has_blockword,
+       (n_sentences >= 5 and not has_lorem and not has_brace
+        and not has_blockword) as keep,
+       cleaned
+from s
+"""
+
+
 SQL_TEXT_GOPHER_WORDS = f"""
 with d as (select doc_id, {_SQL_GOPHER_FIXTURE} as t from documents),
 w as (select doc_id, t,
@@ -3737,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "text_dsir": q_text_dsir,
         "sim_semdedup": q_sim_semdedup,
+        "text_c4_filters": q_text_c4_filters,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3836,6 +3931,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": SQL_DEDUP_SUBSTRING,
         "text_dsir": SQL_TEXT_DSIR,
         "sim_semdedup": SQL_SIM_SEMDEDUP,
+        "text_c4_filters": SQL_TEXT_C4_FILTERS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

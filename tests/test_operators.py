@@ -974,3 +974,68 @@ def test_semdedup_plan_no_python_and_equi_join(spark):
     # the quadratic piece must be an equi join on cluster, never a
     # cartesian/broadcast-nested-loop over the whole table
     assert "CartesianProduct" not in pp and "BroadcastNestedLoopJoin" not in pp
+
+
+def test_c4_rules_each_rule_fires(spark):
+    """Each C4 rule (Raffel et al. 2020 §2.2) flips its own minimal
+    case. Line rules act through c4_clean (dropped lines vanish from
+    the cleaned text); page rules act through c4_keep, measured AFTER
+    line cleaning as in the paper."""
+    good = "\n".join(
+        ["this sentence ends with a period."] * 3
+        + ["does this line ask a question?", "yes it surely does!"]
+    )
+    cases = {
+        "pass": (good, True),
+        "few_sentences": ("only one good sentence lives here.", False),
+        "lorem": (good + "\nlorem ipsum dolor sit amet.", False),
+        "brace": (good + "\ncode goes here { sometimes.", False),
+        "blockword": (good + "\nbadword2 is not allowed here.", False),
+        # line-dropped page killers: the killer line fails the LINE
+        # rules, so the page survives (C4 order of operations)
+        "lorem_line_dropped": (good + "\nlorem ipsum", True),
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _) in cases.items()], "name string, text string"
+    )
+    got = {
+        r["name"]: r["keep"]
+        for r in df.select(
+            "name", textops.c4_keep(F.col("text")).alias("keep")
+        ).collect()
+    }
+    for name, (_, want) in cases.items():
+        assert got[name] is want, name
+
+
+def test_c4_clean_line_rules(spark):
+    """c4_clean drops exactly: short lines (<3 words), lines without
+    terminal punctuation, and lines containing 'javascript' (any case);
+    survivors keep their bytes and order."""
+    text = "\n".join(
+        [
+            "first kept line stays here.",
+            "too short.",                          # <3 words
+            "no terminal punctuation on this line", # bad ending
+            "please enable JavaScript to view.",    # javascript
+            'he said "stop right there."',          # quote terminal: kept
+            "second kept line follows naturally!",
+        ]
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    out = df.select(textops.c4_clean(F.col("text")).alias("c")).collect()[0]["c"]
+    assert out.split("\n") == [
+        "first kept line stays here.",
+        'he said "stop right there."',
+        "second kept line follows naturally!",
+    ]
+    # pure projection: no Python nodes, no shuffle
+    from xtracted_crawlers_spark import plans
+
+    proj = df.select(
+        textops.c4_clean(F.col("text")).alias("c"),
+        textops.c4_keep(F.col("text")).alias("k"),
+        *[c.alias(n) for n, c in textops.c4_stats(F.col("text")).items()],
+    )
+    assert plans.python_eval_nodes(proj) == []
+    assert "Exchange" not in plans.physical_plan(proj)

@@ -371,3 +371,80 @@ def gopher_word_keep(text: Column) -> Column:
         & (5 * s["alpha_words"] >= 4 * s["wc"])
         & (s["stop_hits"] >= 2)
     )
+
+
+# C4 heuristic cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+# the rules behind the C4 corpus). Reference parity note: the reference
+# crawler (jobomix/xtracted-crawlers) extracts structured product data,
+# not corpus text; this family is the additional LLM-pipeline surface
+# the engine needs at 100 TB. Line rules drop lines; page rules drop
+# documents. Everything is a map-only array/string expression — one
+# scan, no UDF, no shuffle — so the filter runs at full codegen speed
+# over any corpus size.
+#
+# The real C4 page rule uses the "List of Dirty, Naughty, Obscene..."
+# word list; the engine takes the list as a parameter and ships these
+# placeholder slots so tests stay printable. Production supplies the
+# published list.
+C4_BLOCKLIST = ("badword1", "badword2")
+
+# A line survives C4 only if it ends in terminal punctuation (period,
+# exclamation, question mark, closing quote) ...
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_keep(line: Column, min_words: int = 3) -> Column:
+    """C4 line rule: ends in a terminal punctuation mark, has at least
+    ``min_words`` whitespace words, and does not contain the word
+    'javascript' (case-insensitive) — the three line-level C4 rules."""
+    ends_ok = sum_cols([line.endswith(t).cast("int") for t in _C4_TERMINALS]) >= 1
+    enough_words = F.size(F.split(line, r"\s+")) >= min_words
+    no_js = ~F.lower(line).contains("javascript")
+    return ends_ok & enough_words & no_js
+
+
+def c4_clean(text: Column, min_words: int = 3) -> Column:
+    """The document after C4's line filters: trimmed non-blank lines
+    that pass :func:`c4_line_keep`, re-joined with newlines. Byte-
+    deterministic, so downstream hashes are stable across engines."""
+    kept = F.filter(_nonblank_lines(text), lambda x: c4_line_keep(x, min_words))
+    return F.array_join(kept, "\n")
+
+
+def c4_stats(text: Column, blocklist: tuple = C4_BLOCKLIST) -> dict[str, Column]:
+    """Per-document C4 counters, computed on the line-cleaned text:
+    n_lines / kept_lines (line-rule effect), n_sentences (terminal-
+    punctuation occurrences in the cleaned text — C4's sentence proxy),
+    and the three page-killer flags (lorem ipsum, curly brace,
+    blocklisted word)."""
+    lines = _nonblank_lines(text)
+    cleaned = c4_clean(text)
+    low = F.lower(cleaned)
+    return {
+        "n_lines": F.size(lines),
+        "kept_lines": F.size(F.filter(lines, lambda x: c4_line_keep(x))),
+        "n_sentences": occurrences(cleaned, ".")
+        + occurrences(cleaned, "!")
+        + occurrences(cleaned, "?"),
+        "has_lorem": low.contains("lorem ipsum"),
+        "has_brace": cleaned.contains("{"),
+        "has_blockword": sum_cols([low.contains(w).cast("int") for w in blocklist])
+        >= 1,
+    }
+
+
+def c4_keep(
+    text: Column, min_sentences: int = 5, blocklist: tuple = C4_BLOCKLIST
+) -> Column:
+    """True = the line-cleaned document survives C4's page rules: at
+    least ``min_sentences`` sentences, no 'lorem ipsum', no '{', no
+    blocklisted word. Apply together with :func:`c4_clean` — the
+    sentence count is measured AFTER line cleaning, as in the paper."""
+    s = c4_stats(text, blocklist)
+    return (
+        (s["n_sentences"] >= min_sentences)
+        & ~s["has_lorem"]
+        & ~s["has_brace"]
+        & ~s["has_blockword"]
+    )
