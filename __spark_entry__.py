@@ -3768,6 +3768,100 @@ from e
 """
 
 
+def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over REAL decoded pixels: the fixture
+    renders an actual 24-bit BMP per image row from a closed-form pixel
+    formula, image_dhash decodes it through the codec-free numpy path
+    (operators/multimodal.py:_decode_bmp) and hashes the pixels, and
+    dhash_near_dup finds pairs via the multi-index hamming band join.
+    Because the pixel value is a closed form of (doc_id, x, y), DuckDB
+    reproduces the 64 hash bits arithmetically WITHOUT decoding — so
+    the driver's value-hash check covers the real decode+hash path
+    end-to-end, not the stub. Groups of 30 doc_ids share content;
+    brightness-shifted variants (off) are byte-different but hash-equal
+    (dHash invariance), and the v==9 variant perturbs one lattice pixel
+    for small nonzero hamming."""
+    from xtracted_crawlers_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 30, (did % 30) // 3
+                w, h = 24 + (g % 5) * 4, 16 + (g % 3) * 8
+                ax, by, off = 3 + g % 11, 5 + g % 13, (v % 3) * 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                p = (ax * x + by * y + x * y) % 180 + off
+                if v == 9:
+                    p = p + np.where(
+                        (x == (3 * w) // 9) & (y == (2 * h) // 8), 60, 0
+                    )
+                px = np.repeat(p[:, :, None].astype(np.uint8), 3, axis=2)
+                rows.append(
+                    (did, "image", multimodal.encode_bmp(px), {"src": "formula"})
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "bytes", "meta"]
+            )
+
+    media = d.mapInPandas(render, multimodal.MEDIA_SCHEMA)
+    return multimodal.dhash_near_dup(
+        multimodal.image_dhash(media), max_hamming=7
+    )
+
+
+# the pixel value at (x, y) is closed-form in (doc_id, x, y), so the
+# oracle recomputes the 64 dHash bits arithmetically (nested lambdas)
+# and verifies the numpy decode+hash path bit-for-bit; same_bytes is
+# parameter equality, which IS byte equality (the pixel function is
+# fully determined by w, h, ax, by, off, pert)
+SQL_MM_IMAGE_DHASH = """
+with im as (
+  select doc_id as media_id, doc_id // 30 as g, (doc_id % 30) // 3 as v
+  from documents where doc_id % 3 = 0),
+p as (
+  select media_id,
+         24 + (g % 5) * 4 as w, 16 + (g % 3) * 8 as h,
+         3 + g % 11 as ax, 5 + g % 13 as by_, (v % 3) * 4 as off,
+         case when v = 9 then 1 else 0 end as pert
+  from im),
+hb as (
+  select media_id, w, h, ax, by_, off, pert,
+    list_transform(generate_series(0, 7), j ->
+      list_sum(list_transform(generate_series(0, 7), i ->
+        case when
+          ((ax * (((i+1) * w) // 9) + by_ * ((j * h) // 8)
+            + (((i+1) * w) // 9) * ((j * h) // 8)) % 180 + off
+           + case when pert = 1 and ((i+1) * w) // 9 = (3 * w) // 9
+                   and (j * h) // 8 = (2 * h) // 8 then 60 else 0 end)
+          >
+          ((ax * ((i * w) // 9) + by_ * ((j * h) // 8)
+            + ((i * w) // 9) * ((j * h) // 8)) % 180 + off
+           + case when pert = 1 and (i * w) // 9 = (3 * w) // 9
+                   and (j * h) // 8 = (2 * h) // 8 then 60 else 0 end)
+        then (1 << (7 - i)) else 0 end))) as bands
+  from p),
+pairs as (
+  select a.media_id as media_a, b.media_id as media_b,
+    cast(list_sum(list_transform(generate_series(1, 8), k ->
+      bit_count(xor(a.bands[k], b.bands[k])))) as int) as hamming,
+    (a.w = b.w and a.h = b.h and a.ax = b.ax and a.by_ = b.by_
+     and a.off = b.off and a.pert = b.pert) as same_bytes
+  from hb a join hb b on a.media_id < b.media_id)
+select media_a, media_b, hamming, same_bytes
+from pairs where hamming <= 7
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3832,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir": q_text_dsir,
         "sim_semdedup": q_sim_semdedup,
         "text_c4_filters": q_text_c4_filters,
+        "mm_image_dhash": q_mm_image_dhash,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -3932,6 +4027,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dsir": SQL_TEXT_DSIR,
         "sim_semdedup": SQL_SIM_SEMDEDUP,
         "text_c4_filters": SQL_TEXT_C4_FILTERS,
+        "mm_image_dhash": SQL_MM_IMAGE_DHASH,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -1039,3 +1039,63 @@ def test_c4_clean_line_rules(spark):
     )
     assert plans.python_eval_nodes(proj) == []
     assert "Exchange" not in plans.physical_plan(proj)
+
+
+def test_image_dhash_brightness_invariance(spark):
+    """dHash is invariant to a constant brightness shift (all pairwise
+    comparisons preserved) while the byte digest changes — the property
+    the perceptual near-dup family exists for. Real BMP encode->decode
+    round trip, no stub."""
+    import numpy as np
+
+    from xtracted_crawlers_spark.operators import multimodal
+
+    x = np.arange(24)[None, :]
+    y = np.arange(16)[:, None]
+    base = ((7 * x + 11 * y + x * y) % 180).astype(np.uint8)
+    rows = []
+    for mid, off in [(1, 0), (2, 8)]:
+        px = np.repeat((base + off)[:, :, None], 3, axis=2)
+        rows.append((mid, "image", multimodal.encode_bmp(px), {}))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.image_dhash(media).collect()}
+    assert got[1]["dhash"] == got[2]["dhash"]
+    assert got[1]["digest"] != got[2]["digest"]
+    assert (got[1]["width"], got[1]["height"]) == (24, 16)
+    pairs = multimodal.dhash_near_dup(
+        multimodal.image_dhash(media), max_hamming=7
+    ).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["hamming"] == 0 and pairs[0]["same_bytes"] is False
+
+
+def test_image_dhash_undecodable_dropped_and_hamming(spark):
+    """Undecodable bytes produce no hash row; a one-lattice-pixel edit
+    yields a small positive hamming and the banded join still finds the
+    pair (pigeonhole: hamming <= bands-1 guarantees a shared band)."""
+    import numpy as np
+
+    from xtracted_crawlers_spark.operators import multimodal
+
+    x = np.arange(27)[None, :]
+    y = np.arange(16)[:, None]
+    base = (5 * x + 3 * y + x * y) % 180
+    pert = base + np.where((x == (3 * 27) // 9) & (y == (2 * 16) // 8), 70, 0)
+    rows = [
+        (1, "image", multimodal.encode_bmp(np.repeat(base.astype(np.uint8)[:, :, None], 3, axis=2)), {}),
+        (2, "image", multimodal.encode_bmp(np.repeat(pert.astype(np.uint8)[:, :, None], 3, axis=2)), {}),
+        (3, "image", b"not an image at all", {}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = multimodal.image_dhash(media)
+    assert sorted(r["media_id"] for r in hashes.collect()) == [1, 2]
+    pairs = multimodal.dhash_near_dup(hashes, max_hamming=7).collect()
+    assert len(pairs) == 1
+    assert 1 <= pairs[0]["hamming"] <= 2
+
+    # band equi-join, never a cartesian / nested-loop over all pairs
+    from xtracted_crawlers_spark import plans
+
+    pp = plans.physical_plan(multimodal.dhash_near_dup(hashes))
+    assert "CartesianProduct" not in pp
+    assert "BroadcastNestedLoopJoin" not in pp

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -285,3 +285,142 @@ def gen_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "bytes", "meta"])
 
     return spark.range(n).mapInPandas(render, MEDIA_SCHEMA)
+
+
+# -- perceptual hashing (image near-dup) ------------------------------------
+# dHash (difference hash): grayscale, sample a (grid+1) x grid lattice,
+# hash bit = "right neighbor brighter than left". Invariant to constant
+# brightness shifts and byte-level re-encodes — the image twin of the
+# text near-dup family. Candidate generation is multi-index hamming
+# (Norouzi et al. 2012): split the grid*grid-bit hash into `grid` row
+# bands; two hashes within hamming <= grid-1 MUST share a band
+# (pigeonhole), so a band equi-join finds every pair with zero recall
+# loss and no all-pairs scan. Scale note: grid=8 gives 8-bit bands (256
+# buckets/band -> O(n^2/256) candidates); at corpus scale use grid=16
+# (16-bit bands, 65k buckets) and/or band_cap, exactly like the MinHash
+# LSH band_cap guard in operators/dedup.py.
+
+DHASH_SCHEMA = (
+    "media_id long, width int, height int, digest string, dhash string, "
+    "bands array<int>"
+)
+
+
+def dhash_bits(pixels, grid: int = 8):
+    """Row-band bytes of the dHash for one decoded HxWx3 uint8 image:
+    integer-exact grayscale (ITU-R 601 weights, //1000), nearest-neighbor
+    lattice xs[i] = i*w//(grid+1), ys[j] = j*h//grid, band j packs bits
+    (gray[ys[j], xs[i+1]] > gray[ys[j], xs[i]]) << (grid-1-i)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    h, w = px.shape[0], px.shape[1]
+    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    xs = [(i * w) // (grid + 1) for i in range(grid + 1)]
+    ys = [(j * h) // grid for j in range(grid)]
+    bands = []
+    for j in range(grid):
+        row = gray[ys[j]]
+        b = 0
+        for i in range(grid):
+            b = (b << 1) | int(row[xs[i + 1]] > row[xs[i]])
+        bands.append(b)
+    return bands
+
+
+def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Decode + perceptual-hash stage over image rows (mapInPandas,
+    bytes never leave the executors). Output: dims, md5 ``digest`` of
+    the raw bytes, ``dhash`` hex (2*grid chars per band-byte... grid/4
+    hex chars per band), and the ``bands`` int array the near-dup join
+    keys on. Rows whose bytes don't decode codec-free (decode_image)
+    are DROPPED — a perceptual hash of undecodable bytes is undefined;
+    the caller sees exactly the decodable subset."""
+    width = max(2, grid // 4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["bytes"]):
+                b = bytes(b) if b is not None else b""
+                dec = decode_image(b)
+                if dec is None:
+                    continue
+                w, h, _c, px = dec
+                bands = dhash_bits(px, grid)
+                hx = "".join(f"{v:0{width}x}" for v in bands)
+                rows.append(
+                    (int(mid), w, h, hashlib.md5(b).hexdigest(), hx, bands)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "digest", "dhash", "bands"],
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "bytes")
+        .mapInPandas(run, DHASH_SCHEMA)
+    )
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 7, band_cap: int | None = None
+) -> DataFrame:
+    """Near-duplicate image pairs from :func:`image_dhash` output:
+    (media_a, media_b, hamming, same_bytes). Complete for
+    ``max_hamming <= n_bands - 1`` (pigeonhole over the row bands);
+    ``same_bytes`` separates true byte dupes from perceptual-only dupes
+    (re-encodes, brightness shifts). The join is a band equi-join — one
+    shuffle on (band_idx, band_byte), never cartesian; ``band_cap``
+    drops hot buckets (uniform regions hash to band 0) exactly like the
+    LSH band_cap in operators/dedup.py, trading bounded recall loss for
+    skew safety."""
+    e = hashes.select(
+        "media_id",
+        "digest",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_byte"),
+    )
+    if band_cap is not None:
+        e = (
+            e.withColumn(
+                "_n",
+                F.count("*").over(
+                    Window.partitionBy("band_idx", "band_byte")
+                ),
+            )
+            .filter(F.col("_n") <= band_cap)
+            .drop("_n")
+        )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_byte") == F.col("b.band_byte"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.bands").alias("bands_a"),
+            F.col("b.bands").alias("bands_b"),
+            (F.col("a.digest") == F.col("b.digest")).alias("same_bytes"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "bands_a", "bands_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming", "same_bytes")
+    )
