@@ -3862,6 +3862,75 @@ from pairs where hamming <= 7
 """
 
 
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform statistics over REAL decoded PCM: the fixture renders an
+    actual RIFF/WAVE (PCM-16 mono) per audio row from a closed-form
+    sample formula, audio_features decodes it through the codec-free
+    numpy path (operators/multimodal.py:_decode_wav) and computes
+    rms / zero-crossings / peak / duration from the samples. The sample
+    value is a closed form of (doc_id, k), so DuckDB reproduces every
+    statistic arithmetically without a decoder — the driver hash-check
+    covers the real WAV decode path end-to-end."""
+    from xtracted_crawlers_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 1
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + (did % 5) * 40
+                sr = 8000 + (did % 3) * 4000
+                a, b, c = 2 + did % 7, 3 + did % 11, did % 13
+                k = np.arange(n, dtype=np.int64)
+                s = (a * k * k + b * k + c) % 4001 - 2000
+                rows.append(
+                    (
+                        did,
+                        "audio",
+                        multimodal.encode_wav(s, sample_rate=sr),
+                        {"src": "formula"},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "bytes", "meta"]
+            )
+
+    media = d.mapInPandas(render, multimodal.MEDIA_SCHEMA)
+    return multimodal.audio_features(media)
+
+
+SQL_MM_AUDIO_FEATURES = """
+with au as (
+  select doc_id as media_id,
+         200 + (doc_id % 5) * 40 as n,
+         cast(8000 + (doc_id % 3) * 4000 as int) as sample_rate,
+         2 + doc_id % 7 as a, 3 + doc_id % 11 as b, doc_id % 13 as c
+  from documents where doc_id % 3 = 1),
+s as (
+  select media_id, n, sample_rate,
+         list_transform(generate_series(0, n - 1),
+                        k -> (a*k*k + b*k + c) % 4001 - 2000) as sm
+  from au)
+select media_id, sample_rate, cast(1 as int) as n_channels,
+       cast(n as bigint) as n_samples,
+       cast(n * 1000 // sample_rate as int) as duration_ms,
+       round(sqrt(list_sum(list_transform(sm, v -> v * v))
+                  / cast(n as double)), 4) as rms,
+       cast(list_sum(list_transform(generate_series(1, n - 1), k ->
+           case when (sm[k+1] >= 0) <> (sm[k] >= 0) then 1 else 0 end))
+         as bigint) as zero_crossings,
+       cast(list_max(list_transform(sm, v -> abs(v))) as int) as peak
+from s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3927,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semdedup": q_sim_semdedup,
         "text_c4_filters": q_text_c4_filters,
         "mm_image_dhash": q_mm_image_dhash,
+        "mm_audio_features": q_mm_audio_features,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4028,6 +4098,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_semdedup": SQL_SIM_SEMDEDUP,
         "text_c4_filters": SQL_TEXT_C4_FILTERS,
         "mm_image_dhash": SQL_MM_IMAGE_DHASH,
+        "mm_audio_features": SQL_MM_AUDIO_FEATURES,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -1099,3 +1099,41 @@ def test_image_dhash_undecodable_dropped_and_hamming(spark):
     pp = plans.physical_plan(multimodal.dhash_near_dup(hashes))
     assert "CartesianProduct" not in pp
     assert "BroadcastNestedLoopJoin" not in pp
+
+
+def test_audio_features_real_wav_decode(spark):
+    """PCM WAV round trip through the real numpy decode: statistics
+    match a hand computation; stereo interleave and non-adjacent chunks
+    decode; undecodable bytes produce no row."""
+    import numpy as np
+
+    from xtracted_crawlers_spark.operators import multimodal
+
+    mono = np.array([0, 1000, -1000, 2000, -2000, 0], dtype="<i2")
+    wav = multimodal.encode_wav(mono, sample_rate=8000)
+    # splice an ignorable LIST chunk between fmt and data (word-aligned)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    stereo = np.array([100, -100, 200, -200], dtype="<i2")  # 2ch interleaved
+    rows = [
+        (1, "audio", wav, {}),
+        (2, "audio", spliced, {}),
+        (3, "audio", multimodal.encode_wav(stereo, 16000, n_channels=2), {}),
+        (4, "audio", b"ID3\x03not really audio", {}),
+        (5, "image", wav, {}),  # wrong kind: filtered before decode
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.audio_features(media).collect()}
+    assert sorted(got) == [1, 2, 3]
+    exp_rms = round(float(np.sqrt((mono.astype(np.int64) ** 2).sum() / 6)), 4)
+    for mid in (1, 2):  # chunk splice must not change any statistic
+        r = got[mid]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 1, 6)
+        assert r["duration_ms"] == 0  # 6 samples @ 8 kHz -> floor(0.75ms)
+        assert r["rms"] == exp_rms
+        assert r["zero_crossings"] == 4  # >=0 flags 1,1,0,1,0,1 -> 4 flips
+        assert r["peak"] == 2000
+    s = got[3]
+    assert (s["sample_rate"], s["n_channels"], s["n_samples"]) == (16000, 2, 2)
+    assert s["peak"] == 200

@@ -424,3 +424,129 @@ def dhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming", "same_bytes")
     )
+
+
+# -- audio (PCM WAV) --------------------------------------------------------
+# RIFF/WAVE with 16-bit PCM is a pure byte layout — numpy decodes it
+# codec-free, so the REAL audio path (decode -> waveform statistics)
+# runs end-to-end in this sandbox, mirroring the BMP/PPM image path.
+# Compressed audio (mp3/ogg/flac) would need a codec the container
+# lacks; such bytes simply don't decode and are dropped.
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms int, rms double, zero_crossings long, peak int"
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Minimal PCM-16 RIFF/WAVE from an int16 sample array (interleaved
+    when n_channels > 1) — the test-fixture twin of _decode_wav."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    hdr = (
+        b"RIFF"
+        + (36 + len(s)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(s).to_bytes(4, "little")
+    )
+    return hdr + s
+
+
+def _decode_wav(b: bytes):
+    """(sample_rate, n_channels, samples int16 ndarray) for PCM-16
+    RIFF/WAVE; None for anything else (compressed, truncated, non-PCM).
+    Walks the chunk list — fmt/data need not be adjacent in the wild."""
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, sr, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None or bits != 16 or not nch:
+        return None
+    n = len(data) // 2
+    if n == 0:
+        return None
+    return sr, nch, np.frombuffer(data, "<i2", n)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + waveform-statistics stage over audio rows (mapInPandas,
+    bytes stay on the executors): sample_rate / n_channels / n_samples
+    (per channel) / duration_ms (floor), rms of the raw int16 samples
+    rounded to 4 decimals, zero_crossings (sign boundary on s >= 0,
+    channel-interleaved stream), peak = max |sample|. Undecodable bytes
+    produce no row — waveform statistics of undecoded bytes are
+    undefined (same contract as image_dhash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["bytes"]):
+                b = bytes(b) if b is not None else b""
+                dec = _decode_wav(b)
+                if dec is None:
+                    continue
+                sr, nch, s = dec
+                x = s.astype(np.int64)
+                n_per = len(s) // nch
+                rms = round(float(np.sqrt((x * x).sum() / len(s))), 4)
+                nn = (s >= 0).astype(np.int8)
+                zc = int((nn[1:] != nn[:-1]).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(sr),
+                        int(nch),
+                        int(n_per),
+                        int(n_per * 1000 // sr),
+                        rms,
+                        zc,
+                        int(np.abs(x).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossings",
+                    "peak",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "bytes")
+        .mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    )
