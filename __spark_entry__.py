@@ -3931,6 +3931,54 @@ from s
 """
 
 
+_QCLF_WEIGHTS = [(b * 37 + 11) % 201 - 100 for b in range(textops.QCLF_BUCKETS)]
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (DCLM / FineWeb-Edu family):
+    hashed unigram+bigram linear classifier scored as one map-only
+    codegen pass (operators/textops.py:classifier_score). The fixture
+    'model' is a closed-form integer weight table, so the oracle
+    reproduces the exact sigmoid input (integer sums are order-exact);
+    a production model exports quantized weights the same way."""
+    cols = textops.classifier_score(F.col("text"), _QCLF_WEIGHTS, bias=0.22)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        cols["n_feats"].alias("n_feats"),
+        cols["score"].alias("score"),
+        (cols["score"] >= 0.5).alias("keep"),
+    )
+
+
+SQL_TEXT_QUALITY_CLASSIFIER = f"""
+with d as (select doc_id, lower(trim(text)) as t from documents),
+toks as (select doc_id,
+           list_filter(string_split_regex(t, '\\s+'), x -> x <> '') as ws
+         from d),
+uni as (select doc_id, unnest(ws) as feat from toks),
+bi as (select doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) as feat
+       from toks where len(ws) >= 2),
+f0 as (select * from uni union all select * from bi),
+feats as (select doc_id,
+            ('0x' || substr(md5(feat), 1, 8))::bigint % {textops.QCLF_BUCKETS} as bucket
+          from f0),
+agg as (select doc_id, count(*) as nf,
+          sum((bucket * 37 + 11) % 201 - 100) as s
+        from feats group by doc_id),
+o as (select d.doc_id, coalesce(agg.nf, 0) as nf, coalesce(agg.s, 0) as s
+      from d left join agg using (doc_id))
+select doc_id, cast(nf as int) as n_feats,
+       case when nf = 0 then 0.0
+            else round(1.0 / (1.0 + exp(-(0.22 + s::double / (100.0 * nf)))), 4)
+       end as score,
+       (case when nf = 0 then 0.0
+             else round(1.0 / (1.0 + exp(-(0.22 + s::double / (100.0 * nf)))), 4)
+        end) >= 0.5 as keep
+from o
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3997,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filters": q_text_c4_filters,
         "mm_image_dhash": q_mm_image_dhash,
         "mm_audio_features": q_mm_audio_features,
+        "text_quality_classifier": q_text_quality_classifier,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4099,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "text_c4_filters": SQL_TEXT_C4_FILTERS,
         "mm_image_dhash": SQL_MM_IMAGE_DHASH,
         "mm_audio_features": SQL_MM_AUDIO_FEATURES,
+        "text_quality_classifier": SQL_TEXT_QUALITY_CLASSIFIER,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -1137,3 +1137,42 @@ def test_audio_features_real_wav_decode(spark):
     s = got[3]
     assert (s["sample_rate"], s["n_channels"], s["n_samples"]) == (16000, 2, 2)
     assert s["peak"] == 200
+
+
+def test_classifier_score_math_and_plan(spark):
+    """Hashed n-gram linear classifier: score equals the hand-computed
+    sigmoid over integer bucket weights (unigrams + bigrams, with
+    multiplicity); empty text scores 0.0; the whole thing is map-only
+    column expressions (no Python, no shuffle)."""
+    import hashlib
+    import math
+
+    n_buckets = 16
+    weights = [(b * 7 + 3) % 41 - 20 for b in range(n_buckets)]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+
+    text = "Spark Filters The Web"
+    toks = ["spark", "filters", "the", "web"]
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    s = sum(weights[bucket(f)] for f in feats)
+    want = round(1.0 / (1.0 + math.exp(-(0.1 + s / (100.0 * len(feats))))), 4)
+
+    df = spark.createDataFrame([(1, text), (2, "   ")], "doc_id long, text string")
+    cols = textops.classifier_score(F.col("text"), weights, bias=0.1)
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", cols["n_feats"].alias("n"), cols["score"].alias("sc")
+        ).collect()
+    }
+    assert got[1]["n"] == len(feats)
+    assert got[1]["sc"] == want
+    assert (got[2]["n"], got[2]["sc"]) == (0, 0.0)
+
+    from xtracted_crawlers_spark import plans
+
+    out = df.select(cols["score"].alias("sc"))
+    assert plans.python_eval_nodes(out) == []
+    assert "Exchange" not in plans.physical_plan(out)

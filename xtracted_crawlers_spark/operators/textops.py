@@ -448,3 +448,75 @@ def c4_keep(
         & ~s["has_brace"]
         & ~s["has_blockword"]
     )
+
+
+# Model-based quality scoring (the DCLM / FineWeb-Edu filtering family:
+# a trained classifier scores every document; Li et al. 2024, Penedo et
+# al. 2024). The engine-side operator is the INFERENCE step — a hashed
+# n-gram linear model (fastText architecture, Joulin et al. 2016):
+# lowercased unigram+bigram features hashed into n_buckets, score =
+# sigmoid(mean feature weight). Map-only column expressions end to end
+# (split -> hash -> array fold), so scoring costs one codegen pass over
+# the corpus at any scale — no UDF, no shuffle, no model server.
+#
+# Weights are INTEGER (fixed-point, /scale at the end): integer sums
+# are associative, so the fold is bit-exact regardless of evaluation
+# order — the property that lets a DuckDB oracle verify the score
+# hash-exactly. Production exports a trained model the same way
+# (quantize weights to ints); for vocabularies too large for a literal
+# array (fastText uses 2M buckets), explode + broadcast-join a weights
+# table instead — same math, one narrow shuffle.
+
+QCLF_BUCKETS = 256
+
+
+def hash_feature_buckets(text: Column, n_buckets: int = QCLF_BUCKETS) -> Column:
+    """array<long> of hashed unigram+bigram feature buckets with
+    multiplicity (the fastText feature map): tokens are lowercased
+    whitespace words; bucket = first 8 md5 hex chars mod n_buckets
+    (md5 so any SQL engine reproduces every bucket bit-for-bit —
+    same scheme as operators/sampling.py:dsir_features)."""
+    words = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(words, bigrams)
+    return F.transform(
+        feats,
+        lambda f: F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def classifier_score(
+    text: Column,
+    weights: list[int],
+    scale: float = 100.0,
+    bias: float = 0.0,
+) -> dict[str, Column]:
+    """Linear-classifier inference columns: ``n_feats``, ``score`` =
+    sigmoid(bias + sum(weights[bucket]) / (scale * n_feats)) rounded to
+    4 decimals, for integer ``weights`` indexed by feature bucket
+    (len(weights) = n_buckets). Feature-less documents score 0.0 (no
+    evidence -> reject, never NaN)."""
+    b = hash_feature_buckets(text, len(weights))
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    n = F.size(b)
+    s = F.aggregate(
+        b,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.element_at(warr, x.cast("int") + 1),
+    )
+    z = F.lit(bias) + s.cast("double") / (F.lit(float(scale)) * n)
+    score = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    )
+    return {"n_feats": n, "score": score}
