@@ -186,6 +186,19 @@ def test_token_count_monotone_in_merges(spark):
     assert counts[-1] < counts[0]
 
 
+def test_tokenize_query_is_map_only(spark, sf_dir):
+    """The apply path is the half that scans 100 TB: its plan must be a
+    single map-only codegen projection — zero shuffles, zero Python."""
+    import __spark_entry__ as em
+    from xtracted_crawlers_spark.plans import audit
+
+    df = em.queries()["corpus_tokenize_bpe"](spark, sf_dir)
+    audit.assert_no_exchange(df, "corpus_tokenize_bpe must be map-only")
+    assert audit.python_eval_nodes(df) == []
+    rows = df.limit(50).collect()
+    assert all(r.n_tokens >= r.n_words for r in rows if r.n_words > 0)
+
+
 def test_apply_without_eow_marker(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     toks = df.select(
