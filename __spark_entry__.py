@@ -3051,7 +3051,23 @@ def _sql_link_pagerank(iters: int = _PAGERANK_ITERS, damping: str = "0.85") -> s
     - update = (1.0-d)/n + d*coalesce(sum, 0.0), constant-folded to the
       same doubles in both engines."""
     parts = [
-        f"with {_SQL_EDGES},",
+        f"with {_sql_pagerank_ctes(iters, damping)}",
+        f"select node, rank from r{iters}",
+    ]
+    return "\n".join(parts)
+
+
+def _sql_pagerank_ctes(
+    iters: int = _PAGERANK_ITERS,
+    damping: str = "0.85",
+    edges_sql: str | None = None,
+) -> str:
+    """The unrolled PageRank CTE chain WITHOUT the leading 'with' or a
+    final select, ending at r{iters} (node, rank) with a trailing comma
+    stripped — reusable by composition oracles (crawl_pagerank_priority,
+    which feeds a SKEWED edge set instead of the default _SQL_EDGES)."""
+    parts = [
+        f"{edges_sql or _SQL_EDGES},",
         "e as (select src_host as src, dst_host as dst from he),",
         "nodes as (select src as node from e union select dst as node from e),",
         "cnt as (select cast(count(*) as double) as n from nodes),",
@@ -3072,11 +3088,108 @@ def _sql_link_pagerank(iters: int = _PAGERANK_ITERS, damping: str = "0.85") -> s
             f"  from nodes n cross join cnt c left join s{i} on s{i}.node = n.node),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"select node, rank from r{iters}")
     return "\n".join(parts)
 
 
 SQL_LINK_PAGERANK = _sql_link_pagerank()
+
+
+def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-prioritized frontier — the full authority-feedback
+    composition a production crawler runs: the link graph harvested by
+    earlier rounds (linkgraph.host_edges over the lineitem-derived
+    edges) feeds exact-fold PageRank; scores scale to integers by a
+    single bit-exact double multiply + floor (cross-engine-safe,
+    unlike cast-rounding); priority_decade buckets them per-row (no
+    ranking window over the host table — 100 TB shape); the REAL
+    scheduler then cuts the round. Differs from
+    q_crawl_priority_schedule (raw in-degree) in that authority here
+    is propagated: a host linked by high-rank hosts outranks one with
+    many low-rank in-links.
+
+    The edge set is the SKEWED harmonic one (dst key = k % (1+k%50),
+    as in q_crawl_priority_schedule) — the default _edges graph is a
+    bijection mod HOST_MOD, so its PageRank is exactly uniform and
+    would exercise a single priority bucket (measured: every host
+    scores 2000)."""
+    from xtracted_crawlers_spark import scheduler
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        urlgen.url_from_key(F.col("l_orderkey")).alias("src"),
+        urlgen.url_from_key(
+            F.col("l_orderkey") % (1 + F.col("l_orderkey") % 50)
+        ).alias("dst"),
+    )
+    pr = linkgraph.pagerank(
+        linkgraph.host_edges(skewed),
+        iters=_PAGERANK_ITERS,
+        exact_fold=True,
+    )
+    scores = pr.select(
+        F.col("node").alias("host"),
+        F.floor(F.col("rank") * F.lit(100000.0)).cast("long").alias("score"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    k = F.col("o_orderkey")
+    sel = o.select(
+        k.alias("k"),
+        urlgen.url_from_key(k).alias("url"),
+    ).select(
+        "k",
+        "url",
+        F.concat(F.lit("u"), (F.col("k") % 7).cast("string")).alias("user_id"),
+        (F.col("k") % 3).cast("long").alias("job_id"),
+        F.regexp_extract(
+            urlnorm.url_path(F.col("url")), urlnorm.ASIN_PATH_RE, 1
+        ).alias("url_id"),
+        urlnorm.host(F.col("url")).alias("host"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("k")
+    sel = sel.withColumn("job_urls_seq", F.row_number().over(w).cast("long"))
+    prioritized = scheduler.with_host_priority(sel, scores, n_buckets=4)
+    cut = scheduler.select_round(
+        prioritized, rules=None, default_budget=5, global_budget=120
+    )
+    return cut.select("host", "url_id", "priority", "job_urls_seq")
+
+
+_SQL_EDGES_SKEWED = f"""
+edges as (select {sql_url_from_key('l_orderkey')} as src,
+                 {sql_url_from_key('l_orderkey % (1 + l_orderkey % 50)')} as dst
+          from lineitem),
+he as (select lower(regexp_extract(src, {NETLOC_RE_SQL}, 1)) as src_host,
+              lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as dst_host,
+              count(*) as weight
+       from edges group by 1, 2)
+"""
+
+SQL_CRAWL_PAGERANK_PRIORITY = f"""
+with {_sql_pagerank_ctes(edges_sql=_SQL_EDGES_SKEWED)},
+sc as (select node as host,
+              cast(floor(rank * 100000.0) as bigint) as score from r{_PAGERANK_ITERS}),
+pri as (select host,
+               greatest(0, 4 - length(cast(score as varchar))) as hp from sc),
+u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url
+      from orders where o_orderkey % 2 = 0),
+sel0 as (select k, url,
+           'u' || cast(k % 7 as varchar) as user_id,
+           k % 3 as job_id,
+           regexp_extract(url, {ASIN_RE_SQL}, 1) as url_id,
+           lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host
+         from u),
+sel as (select *, row_number() over (partition by user_id order by k) as job_urls_seq from sel0),
+fr as (select sel.*, cast(coalesce(pri.hp, 4) as int) as priority
+       from sel left join pri using (host)),
+r as (select *, row_number() over (partition by host
+          order by priority, job_urls_seq, user_id, job_id, url_id) as hr from fr),
+cut as (select * from r where hr <= 5)
+select host, url_id, priority, job_urls_seq from cut
+order by priority, job_urls_seq, user_id, job_id, url_id limit 120
+"""
 
 
 _HITS_ITERS = 6
@@ -4173,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_text_quality_classifier,
         "corpus_bpe": q_corpus_bpe,
         "corpus_tokenize_bpe": q_corpus_tokenize_bpe,
+        "crawl_pagerank_priority": q_crawl_pagerank_priority,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4208,14 +4322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_change_rate": q_crawl_change_rate,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
-        "crawl_reset_fanout": q_crawl_reset_fanout,
         # ---------------- position 50 boundary is above -----------------
         # (re-verify with list(queries())[:50] after ANY insertion: the
-        # 17 round-5 queries pushed crawl_point_lookup..dedup_ngram_jaccard
+        # 18 round-5 queries pushed crawl_reset_fanout..dedup_ngram_jaccard
         # into the pool — all carry CORRECTNESS_r04 green rows, enforced
         # by tests/test_driver_window.py)
         # -- stable rotation pool: every key below has a driver-green row
         #    in CORRECTNESS_r03/r04; rotates forward next round ----------
+        "crawl_reset_fanout": q_crawl_reset_fanout,
         "crawl_point_lookup": q_crawl_point_lookup,
         "crawl_quota": q_crawl_quota,
         "crawl_job_status": q_crawl_job_status,
@@ -4277,6 +4391,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_classifier": SQL_TEXT_QUALITY_CLASSIFIER,
         "corpus_bpe": SQL_CORPUS_BPE,
         "corpus_tokenize_bpe": SQL_CORPUS_TOKENIZE_BPE,
+        "crawl_pagerank_priority": SQL_CRAWL_PAGERANK_PRIORITY,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

