@@ -80,3 +80,79 @@ def test_production_bucketing_is_window_free(docs):
     scored = lmscore.doc_lm_scores(docs)
     plan = lmscore.perplexity_buckets(scored)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+# ---- Stupid Backoff bigram LM (Brants et al. 2007) -------------------
+
+
+def _py_stupid_backoff(score_docs, lm_docs, alpha=0.4):
+    """Pure-Python reference: (doc_id -> (n_bigrams, n_backoff, score))."""
+    import collections
+    import re
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    c1 = collections.Counter()
+    c2 = collections.Counter()
+    for _, t in lm_docs:
+        ws = toks(t)
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    n = float(sum(c1.values()))
+    v = float(len(c1))
+    out = {}
+    for did, t in score_docs:
+        ws = toks(t)
+        bis = list(zip(ws, ws[1:]))
+        if not bis:
+            continue
+        total = bo = 0.0
+        for w1, w2 in bis:
+            if (w1, w2) in c2:
+                total += math.log(c2[(w1, w2)] / float(c1[w1]))
+            elif w2 in c1:
+                total += math.log(alpha * (c1[w2] / n))
+                bo += 1
+            else:
+                total += math.log(alpha * (1.0 / (n + v + 1.0)))
+                bo += 1
+        out[did] = (len(bis), int(bo), round(total / len(bis), 4))
+    return out
+
+
+def test_stupid_backoff_matches_reference_all_branches(spark):
+    lm_docs = [(0, "the cat sat on the mat"), (2, "the dog sat on a log")]
+    score_docs = lm_docs + [
+        (1, "the cat sat on a log"),      # all bigrams seen
+        (3, "mat the cat"),               # unseen bigram 'mat the' -> backoff
+        (5, "zebra quagga the cat"),      # OOV words -> OOV slot
+        (7, "single"),                    # no bigrams -> excluded
+    ]
+    df = spark.createDataFrame(score_docs, "doc_id long, text string")
+    lm = df.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.score)
+        for r in lmscore.stupid_backoff_scores(df, lm_docs=lm, exact_fold=True).collect()
+    }
+    want = _py_stupid_backoff(score_docs, lm_docs)
+    assert got == want
+    assert 7 not in got                  # sub-2-token docs excluded
+    assert got[3][1] > 0                 # backoff branch fired
+    assert got[5][1] > 0                 # OOV branch fired
+    assert got[1][1] == 0 and got[0][1] == 0
+
+
+def test_stupid_backoff_self_trained_never_backs_off(docs):
+    scored = lmscore.stupid_backoff_scores(docs)
+    assert scored.filter(F.col("n_backoff") > 0).count() == 0
+    # seen-bigram scores are log-ratios of counts: always <= 0
+    assert scored.filter(F.col("score") > 0).count() == 0
+
+
+def test_stupid_backoff_fold_matches_plain_sum(docs):
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    a = {r.doc_id: r.score for r in lmscore.stupid_backoff_scores(docs, lm_docs=lm, exact_fold=True).collect()}
+    b = {r.doc_id: r.score for r in lmscore.stupid_backoff_scores(docs, lm_docs=lm, exact_fold=False).collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)

@@ -138,3 +138,134 @@ def perplexity_buckets_exact(scored: DataFrame, score_col: str = "score") -> Dat
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------
+# Bigram LM + Stupid Backoff (Brants et al. 2007, "Large Language
+# Models in Machine Translation") — the classic DISTRIBUTED n-gram LM:
+# no discounting/normalization that needs global passes, just counts
+# and one fixed backoff multiplier, which is why it scales to web-corpus
+# training sets. Training = two count aggregates; scoring = two
+# vocabulary-sized equi-joins (shuffle on term like any postings join;
+# nothing is collected or broadcast).
+# ---------------------------------------------------------------------
+
+
+def _bigram_structs(text: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs under the shared
+    tokenizer (multiplicity preserved)."""
+    from .search import tokens
+
+    a = tokens(text)
+    n = F.size(a)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(a, 1, n - 1),
+            F.slice(a, 2, n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2, cnt): corpus bigram counts — one explode + one
+    map-side-combined aggregate."""
+    b = docs.select(F.explode(_bigram_structs(F.col(text_col))).alias("_b"))
+    return b.groupBy(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    lm_docs: Optional[DataFrame] = None,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_backoff, score): mean Stupid-Backoff log
+    score over a document's bigram tokens, LM trained on ``lm_docs``
+    (default: the scored corpus itself — then the bigram path always
+    hits and n_backoff is 0 by construction).
+
+        S(w2|w1) = cnt(w1 w2) / cnt(w1)          if the bigram was seen
+                 = alpha * cnt(w2) / N           else if w2 was seen
+                 = alpha * 1 / (N + V + 1)       else (the OOV slot)
+
+    score = round(mean ln S, 4); docs with < 2 tokens have no bigram
+    tokens and are EXCLUDED (documented inner semantics). n_backoff
+    counts scored bigram tokens that fell past the bigram table —
+    the observable that proves the backoff path fired.
+
+    exact_fold orders the per-doc sum by (w1, w2) so the DuckDB twin
+    (list_dot_product over the same ordering) reproduces the doubles
+    bit-for-bit before the shared round(, 4)."""
+    from .search import tokens
+
+    if lm_docs is None:
+        lm_docs = docs
+    c2 = bigram_counts(lm_docs, id_col=id_col, text_col=text_col)
+    uni = lm_docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    c1 = uni.groupBy("term").agg(F.count("*").cast("long").alias("c1"))
+    tot = c1.agg(
+        F.sum("c1").cast("double").alias("n"),
+        F.count("*").cast("double").alias("v"),
+    )
+
+    b = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_bigram_structs(F.col(text_col))).alias("_b"),
+    )
+    pb = (
+        b.select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dlb = pb.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_bigrams"))
+    j = (
+        pb.join(c2, ["w1", "w2"], "left")
+        .join(c1.select(F.col("term").alias("w1"), F.col("c1").alias("_cw1")), "w1", "left")
+        .join(c1.select(F.col("term").alias("w2"), F.col("c1").alias("_cw2")), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(float(alpha))
+    lp = (
+        F.when(
+            F.col("cnt").isNotNull(),
+            F.log(F.col("cnt").cast("double") / F.col("_cw1").cast("double")),
+        )
+        .when(
+            F.col("_cw2").isNotNull(),
+            F.log(a * (F.col("_cw2").cast("double") / F.col("n"))),
+        )
+        .otherwise(F.log(a * (F.lit(1.0) / (F.col("n") + F.col("v") + F.lit(1.0)))))
+    )
+    s = j.select(
+        "doc_id",
+        "w1",
+        "w2",
+        "tf",
+        (F.col("tf").cast("double") * lp).alias("contrib"),
+        F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(F.lit(0)).cast("long").alias("_bo"),
+    )
+    if exact_fold:
+        total = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("w1", "w2", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        )
+    else:
+        total = F.sum("contrib")
+    g = s.groupBy("doc_id").agg(
+        F.sum("_bo").cast("long").alias("n_backoff"), total.alias("_total")
+    )
+    return g.join(dlb, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "n_backoff",
+        F.round(F.col("_total") / F.col("n_bigrams").cast("double"), 4).alias("score"),
+    )
