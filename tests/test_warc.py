@@ -272,3 +272,60 @@ def test_warc_gz_part_bytes_deterministic(spark, tmp_path):
         assert blob[:2] == b"\x1f\x8b"
         assert blob[4:8] == b"\x00\x00\x00\x00"  # MTIME pinned to 0
         assert blob[3] & 0x08 == 0  # FLG.FNAME unset: no tmp-file name leak
+
+
+# ---- WET (conversion / extracted-text) export ------------------------
+
+
+def test_wet_sink_roundtrip_and_mixed_dump(spark, tmp_path):
+    """pages → wet_sink → read_wet must round-trip text exactly; a file
+    holding BOTH record types routes responses to read_warc and
+    conversions to read_wet with no cross-talk."""
+    from xtracted_crawlers_spark.sources import read_wet, wet_sink
+    from xtracted_crawlers_spark.sources.warc import (
+        render_conversion_record,
+        render_record,
+    )
+
+    rows = [
+        (f"https://h.test/dp/B0{i:08d}", datetime(2024, 1, 1, 0, 0, i), f"doc {i}\nline two {i}")
+        for i in range(40)
+    ] + [("https://h.test/null", datetime(2024, 1, 2), None)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string").repartition(3)
+    out = str(tmp_path / "wet")
+    manifest = wet_sink(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 40  # NULL text skipped
+    assert all(m.path.endswith(".warc.wet.gz") for m in manifest)
+    back = read_wet(spark, out + "/*.warc.wet.gz")
+    got = {r.url: (r.warc_ts, r.text) for r in back.collect()}
+    assert got == {u: (ts, t) for u, ts, t in rows if t is not None}
+
+    # mixed dump: one stream with a response AND a conversion record
+    mixed = render_record("https://h.test/a", datetime(2024, 1, 1), b"<html>x</html>") + \
+        render_conversion_record("https://h.test/a", datetime(2024, 1, 1), "x text")
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(mixed)
+    html = list(parse_warc_stream(p.read_bytes()))
+    from xtracted_crawlers_spark.sources import parse_wet_stream
+    text = list(parse_wet_stream(p.read_bytes()))
+    assert len(html) == 1 and html[0]["html"] == b"<html>x</html>"
+    assert len(text) == 1 and text[0]["text"] == "x text"
+
+
+def test_wet_gz_part_bytes_deterministic(spark, tmp_path):
+    """Two independent exports of the same rows must be byte-identical
+    per part — the same deterministic-gzip contract as warc_sink."""
+    from xtracted_crawlers_spark.sources import wet_sink
+
+    rows = [(f"https://h.test/{i}", datetime(2024, 1, 1), f"text {i}") for i in range(30)]
+    df = (
+        spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        .repartition(2, "url")
+        .sortWithinPartitions("url")
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    pa = sorted(m.path for m in wet_sink(df, a).collect())
+    pb = sorted(m.path for m in wet_sink(df, b).collect())
+    assert len(pa) == len(pb) == 2
+    for x, y in zip(pa, pb):
+        assert open(x, "rb").read() == open(y, "rb").read()

@@ -2,4 +2,12 @@
 crawl-state tables, parquet now, Iceberg-ready (same call sites)."""
 
 from .pages import read_pages, PAGES_TABLE_SCHEMA  # noqa: F401
-from .warc import read_warc, warc_sink, write_warc_file, parse_warc_stream  # noqa: F401
+from .warc import (  # noqa: F401
+    parse_warc_stream,
+    parse_wet_stream,
+    read_warc,
+    read_wet,
+    warc_sink,
+    wet_sink,
+    write_warc_file,
+)

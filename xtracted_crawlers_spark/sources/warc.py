@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 from .pages import PAGES_TABLE_SCHEMA
 
 
-def parse_warc_stream(raw: bytes) -> Iterator[dict]:
-    """Yield {url, warc_ts, html} dicts for each response record.
-    Pure function (unit-testable without Spark)."""
+def _iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(headers, body) per record — the framing shared by response
+    (WARC/HTML) and conversion (WET/text) readers."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     buf = io.BytesIO(raw)
@@ -55,10 +55,28 @@ def parse_warc_stream(raw: bytes) -> Iterator[dict]:
             headers[k.strip().lower()] = v.strip()
         length = int(headers.get("content-length", "0"))
         body = buf.read(length)
+        yield headers, body
+
+
+def parse_warc_stream(raw: bytes) -> Iterator[dict]:
+    """Yield {url, warc_ts, html} dicts for each response record.
+    Pure function (unit-testable without Spark)."""
+    for headers, body in _iter_warc_records(raw):
         if headers.get("warc-type") == "response":
             url = headers.get("warc-target-uri", "")
             ts = _parse_ts(headers.get("warc-date"))
             yield {"url": url, "warc_ts": ts, "html": _strip_http_headers(body)}
+
+
+def parse_wet_stream(raw: bytes) -> Iterator[dict]:
+    """Yield {url, warc_ts, text} dicts for each CONVERSION record —
+    the WET (extracted-text) sibling of parse_warc_stream. Conversion
+    bodies are bare text/plain (no HTTP envelope to strip)."""
+    for headers, body in _iter_warc_records(raw):
+        if headers.get("warc-type") == "conversion":
+            url = headers.get("warc-target-uri", "")
+            ts = _parse_ts(headers.get("warc-date"))
+            yield {"url": url, "warc_ts": ts, "text": body.decode("utf-8", "replace")}
 
 
 def _parse_ts(s: Optional[str]):
@@ -198,10 +216,22 @@ def warc_sink(
         else F.lit(None).cast("timestamp").alias("warc_ts"),
         F.col(payload_col).alias("payload"),
     )
+    render = lambda url, ts, payload: render_record(url, ts, bytes(payload))  # noqa: E731
+    suffix = ".warc.gz" if compress else ".warc"
+    return _manifest_sink(sel, out_dir, suffix, render, compress)
+
+
+def _manifest_sink(sel, out_dir: str, suffix: str, render, compress: bool) -> DataFrame:
+    """The shared per-partition part-file writer behind warc_sink and
+    wet_sink: sel must carry (url, warc_ts, payload); render(url, ts,
+    payload) -> record bytes. Same attempt-unique-tmp + atomic-rename
+    + deterministic-gzip contract as documented on warc_sink."""
+    import os
+
+    from pyspark import TaskContext
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
-        suffix = ".warc.gz" if compress else ".warc"
         path = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{suffix}")
         tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         n = 0
@@ -217,9 +247,7 @@ def warc_sink(
                 for url, ts, payload in zip(
                     pdf["url"], pdf["warc_ts"], pdf["payload"]
                 ):
-                    rec = render_record(
-                        url, None if pd.isna(ts) else ts, bytes(payload)
-                    )
+                    rec = render(url, None if pd.isna(ts) else ts, payload)
                     sink.write(rec)
                     raw_bytes += len(rec)
                     n += 1
@@ -237,6 +265,74 @@ def warc_sink(
             yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [raw_bytes]})
 
     return sel.mapInPandas(write, WARC_SINK_MANIFEST_SCHEMA)
+
+
+def render_conversion_record(url: str, ts, text: str) -> bytes:
+    """One WARC/1.0 CONVERSION record (the WET record type): bare
+    text/plain body, byte-deterministic like render_record."""
+    body = text.encode("utf-8")
+    ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else "2024-01-01T00:00:00Z"
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts_s}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "Content-Type: text/plain\r\n"
+        "\r\n"
+    ).encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def wet_sink(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WET export — Common-Crawl-style extracted-text
+    conversion records (`part-<id>.warc.wet[.gz]`), the standard hand-off
+    format from a crawl to an LLM-data pipeline. Same distributed-write
+    contract as warc_sink (per-partition part file, manifest row per
+    non-empty partition, atomic rename, deterministic gzip); rows with
+    NULL text are skipped (they have no conversion — export their pages
+    via warc_sink instead)."""
+    sel = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts") if ts_col in df.columns
+        else F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col(text_col).alias("payload"),
+    )
+    render = lambda url, ts, payload: render_conversion_record(url, ts, str(payload))  # noqa: E731
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+    return _manifest_sink(sel, out_dir, suffix, render, compress)
+
+
+WET_TABLE_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def read_wet(spark: SparkSession, path: str, permissive: bool = True) -> DataFrame:
+    """WET files → (url, warc_ts, text): the conversion-record twin of
+    read_warc, file-granular parallelism, Arrow-batched, bytes never on
+    the driver."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = []
+                try:
+                    for r in parse_wet_stream(bytes(content)):
+                        rows.append((r["url"], r["warc_ts"], r["text"]))
+                except (ValueError, OSError, EOFError):
+                    if not permissive:
+                        raise
+                if rows:
+                    yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(parse, WET_TABLE_SCHEMA)
 
 
 CDX_SCHEMA = (
