@@ -3157,6 +3157,71 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut.select("host", "url_id", "priority", "job_urls_seq")
 
 
+def q_crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3xx redirect-chain resolution (operators/redirects.py): every
+    frontier URL follows its harvested Location edges — max 2 hops here
+    so every status fires: 'ok' (terminated), 'loop' (2-cycles between
+    consecutive orderkeys where k%97 hits 5/6), 'too_many' (k%11 chains
+    of length 3 exceed the cap). Each hop is one equi-join of the
+    still-alive frontier against the 3xx-only edge table; decided rows
+    leave the frontier, so join k touches only depth-k chains."""
+    from xtracted_crawlers_spark.operators import redirects
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    urls = o.select(urlgen.url_from_key(k).alias("url"))
+    edges = o.select(
+        urlgen.url_from_key(k).alias("src"),
+        F.when(k % 97 == 5, urlgen.url_from_key(k + 1))
+        .when(k % 97 == 6, urlgen.url_from_key(k - 1))
+        .when((k % 11).isin(1, 2, 3), urlgen.url_from_key(k - 1))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return redirects.resolve_redirects(urls, edges, max_hops=2)
+
+
+def _sql_crawl_redirect_resolve(max_hops: int = 2) -> str:
+    parts = [
+        f"with u as (select {sql_url_from_key('o_orderkey')} as url from orders),",
+        f"""e0 as (select {sql_url_from_key('o_orderkey')} as src,
+           case when o_orderkey % 97 = 5 then {sql_url_from_key('o_orderkey + 1')}
+                when o_orderkey % 97 = 6 then {sql_url_from_key('o_orderkey - 1')}
+                when o_orderkey % 11 in (1, 2, 3) then {sql_url_from_key('o_orderkey - 1')}
+           end as dst from orders),""",
+        "e as (select src, dst from e0 where dst is not null),",
+        "h0 as (select url, url as final, [url] as path, 0 as hops,"
+        " cast(null as varchar) as status from u),",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""h{i} as (select h.url,
+      case when h.status is null and e.dst is not null
+                and not list_contains(h.path, e.dst)
+           then e.dst else h.final end as final,
+      case when h.status is null and e.dst is not null
+                and not list_contains(h.path, e.dst)
+           then list_append(h.path, e.dst) else h.path end as path,
+      case when h.status is null and e.dst is not null
+                and not list_contains(h.path, e.dst)
+           then h.hops + 1 else h.hops end as hops,
+      coalesce(h.status,
+        case when e.dst is null then 'ok'
+             when list_contains(h.path, e.dst) then 'loop' end) as status
+    from h{i-1} h left join e on h.status is null and h.final = e.src),"""
+        )
+    parts.append(
+        f"""fin as (select h.url, h.final, h.hops,
+      coalesce(h.status,
+        case when e.dst is null then 'ok' else 'too_many' end) as status
+    from h{max_hops} h left join e on h.status is null and h.final = e.src)
+select url, final as final_url, cast(hops as int) as n_hops, status from fin"""
+    )
+    return "\n".join(parts)
+
+
+SQL_CRAWL_REDIRECT_RESOLVE = _sql_crawl_redirect_resolve()
+
+
 _SQL_EDGES_SKEWED = f"""
 edges as (select {sql_url_from_key('l_orderkey')} as src,
                  {sql_url_from_key('l_orderkey % (1 + l_orderkey % 50)')} as dst
@@ -4347,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenize_bpe": q_corpus_tokenize_bpe,
         "crawl_pagerank_priority": q_crawl_pagerank_priority,
         "corpus_bigram_backoff": q_corpus_bigram_backoff,
+        "crawl_redirect_resolve": q_crawl_redirect_resolve,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4380,12 +4446,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_token_bucket": q_crawl_token_bucket,
         "crawl_fair_schedule": q_crawl_fair_schedule,
         "crawl_change_rate": q_crawl_change_rate,
-        "crawl_status_metrics": q_crawl_status_metrics,
         # ---------------- position 50 boundary is above -----------------
         # (re-verify with list(queries())[:50] after ANY insertion: the
-        # 19 round-5 queries pushed crawl_retry_giveup..dedup_ngram_jaccard
+        # 20 round-5 queries pushed crawl_status_metrics..dedup_ngram_jaccard
         # into the pool — all carry CORRECTNESS_r04 green rows, enforced
         # by tests/test_driver_window.py)
+        "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
         # -- stable rotation pool: every key below has a driver-green row
         #    in CORRECTNESS_r03/r04; rotates forward next round ----------
@@ -4453,6 +4519,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_tokenize_bpe": SQL_CORPUS_TOKENIZE_BPE,
         "crawl_pagerank_priority": SQL_CRAWL_PAGERANK_PRIORITY,
         "corpus_bigram_backoff": SQL_CORPUS_BIGRAM_BACKOFF,
+        "crawl_redirect_resolve": SQL_CRAWL_REDIRECT_RESOLVE,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
