@@ -3157,6 +3157,78 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut.select("host", "url_id", "priority", "job_urls_seq")
 
 
+def q_crawl_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness by server, not hostname (scheduler.with_politeness_key):
+    every third shop host resolves to one of 7 shared IPs (virtual
+    hosting), and co-hosted sites must SHARE a per-host budget — a
+    thousand vanity hostnames on one CDN edge are still one server.
+    The politeness key replaces `host` before the rank cut, so the
+    existing scheduler enforces ≤4 per SERVER for merged hosts and ≤4
+    per hostname for unresolved ones; origin_host survives for fetch."""
+    from pyspark.sql import Window
+
+    from xtracted_crawlers_spark import scheduler
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 < 2)
+    k = F.col("o_orderkey")
+    sel = o.select(
+        k.alias("k"),
+        urlgen.url_from_key(k).alias("url"),
+        F.lit("u0").alias("user_id"),
+        F.lit(0).cast("long").alias("job_id"),
+        F.regexp_extract(
+            urlnorm.url_path(urlgen.url_from_key(k)), urlnorm.ASIN_PATH_RE, 1
+        ).alias("url_id"),
+        urlnorm.host(urlgen.url_from_key(k)).alias("host"),
+        F.lit(0).cast("int").alias("priority"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("k")
+    sel = sel.withColumn("job_urls_seq", F.row_number().over(w).cast("long"))
+    hosts = sel.select("host").distinct()
+    hn = F.regexp_extract(F.col("host"), r"shop(\d{5})", 1).cast("int")
+    host_ip = hosts.select(
+        "host",
+        F.when(
+            hn % 3 == 0, F.concat(F.lit("10.0.0."), (hn % 7).cast("string"))
+        ).alias("ip"),
+    )
+    keyed = scheduler.with_politeness_key(sel, host_ip)
+    cut = scheduler.select_round(
+        keyed, rules=None, default_budget=4, global_budget=130
+    )
+    return cut.select(
+        F.col("host").alias("pkey"), "origin_host", "url_id", "job_urls_seq"
+    )
+
+
+SQL_CRAWL_IP_POLITENESS = f"""
+with u as (select o_orderkey as k, {sql_url_from_key('o_orderkey')} as url
+           from orders where o_orderkey % 5 < 2),
+sel0 as (select k, url, 'u0' as user_id, 0 as job_id,
+           regexp_extract(url, {ASIN_RE_SQL}, 1) as url_id,
+           lower(regexp_extract(url, {NETLOC_RE_SQL}, 1)) as host,
+           0 as priority
+         from u),
+sel as (select *, row_number() over (order by k) as job_urls_seq from sel0),
+hosts as (select distinct host from sel),
+hip as (select host,
+          case when cast(regexp_extract(host, 'shop(\\d{{5}})', 1) as int) % 3 = 0
+               then '10.0.0.' || cast(cast(regexp_extract(host, 'shop(\\d{{5}})', 1) as int) % 7 as varchar)
+          end as ip
+        from hosts),
+keyed as (select sel.k, sel.url, sel.user_id, sel.job_id, sel.url_id,
+            sel.priority, sel.job_urls_seq,
+            sel.host as origin_host,
+            coalesce('ip:' || hip.ip, sel.host) as host
+          from sel left join hip on sel.host = hip.host),
+r as (select *, row_number() over (partition by host
+          order by priority, job_urls_seq, user_id, job_id, url_id) as hr from keyed),
+cut as (select * from r where hr <= 4)
+select host as pkey, origin_host, url_id, job_urls_seq from cut
+order by priority, job_urls_seq, user_id, job_id, url_id limit 130
+"""
+
+
 _FOCUS_TOPIC = ["buy", "deal", "now"]
 
 
@@ -4529,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_backoff": q_corpus_bigram_backoff,
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "crawl_focused_priority": q_crawl_focused_priority,
+        "crawl_ip_politeness": q_crawl_ip_politeness,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4560,12 +4633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_token_bucket": q_crawl_token_bucket,
-        "crawl_fair_schedule": q_crawl_fair_schedule,
         # ---------------- position 50 boundary is above -----------------
         # (re-verify with list(queries())[:50] after ANY insertion: the
-        # 21 round-5 queries pushed crawl_change_rate..dedup_ngram_jaccard
+        # 22 round-5 queries pushed crawl_fair_schedule..dedup_ngram_jaccard
         # into the pool — all carry CORRECTNESS_r04 green rows, enforced
         # by tests/test_driver_window.py)
+        "crawl_fair_schedule": q_crawl_fair_schedule,
         "crawl_change_rate": q_crawl_change_rate,
         "crawl_status_metrics": q_crawl_status_metrics,
         "crawl_retry_giveup": q_crawl_retry_giveup,
@@ -4637,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bigram_backoff": SQL_CORPUS_BIGRAM_BACKOFF,
         "crawl_redirect_resolve": SQL_CRAWL_REDIRECT_RESOLVE,
         "crawl_focused_priority": SQL_CRAWL_FOCUSED_PRIORITY,
+        "crawl_ip_politeness": SQL_CRAWL_IP_POLITENESS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -672,3 +672,38 @@ def test_pagerank_priority_cut_spans_buckets(spark, sf_dir):
     # global cut orders by priority first: every bucket-0 row's seq rank
     # position precedes any lower-authority row only in priority order
     assert set(pdf.priority.unique()) == set(range(pdf.priority.nunique()))
+
+
+def test_politeness_by_ip_shares_budget_across_cohosted(spark):
+    """Two hostnames on one IP must share ONE per-host budget; an
+    unresolved host keeps its own; origin_host survives for fetch."""
+    from xtracted_crawlers_spark import scheduler
+
+    rows = [
+        (i, f"https://{h}/dp/B0{i:08d}", "u0", 0, f"B0{i:08d}", h, 0)
+        for i, h in enumerate(
+            ["a.test"] * 5 + ["b.test"] * 5 + ["solo.test"] * 5
+        )
+    ]
+    fr = spark.createDataFrame(
+        rows,
+        "k long, url string, user_id string, job_id long, url_id string, host string, priority int",
+    )
+    from pyspark.sql import Window
+
+    fr = fr.withColumn(
+        "job_urls_seq",
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("k")).cast("long"),
+    )
+    host_ip = spark.createDataFrame(
+        [("a.test", "10.0.0.9"), ("b.test", "10.0.0.9")], "host string, ip string"
+    )
+    keyed = scheduler.with_politeness_key(fr, host_ip)
+    cut = scheduler.select_round(keyed, rules=None, default_budget=3).collect()
+    by_key = {}
+    for r in cut:
+        by_key.setdefault(r.host, []).append(r.origin_host)
+    assert len(by_key["ip:10.0.0.9"]) == 3          # SHARED cap, not 3+3
+    assert sorted(set(by_key["ip:10.0.0.9"])) == ["a.test"]  # FIFO: a's seqs first
+    assert len(by_key["solo.test"]) == 3            # unresolved host unmerged
+    assert all(r.origin_host in ("a.test", "b.test", "solo.test") for r in cut)

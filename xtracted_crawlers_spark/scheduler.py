@@ -586,6 +586,34 @@ def with_host_priority(
     )
 
 
+def with_politeness_key(
+    frontier_df: DataFrame, host_ip: DataFrame, ip_col: str = "ip"
+) -> DataFrame:
+    """Collapse co-hosted sites onto one politeness key (the Mercator/
+    Heritrix 'politeness by IP' option): hosts sharing a resolved
+    address share ONE per-host budget/token bucket, because a thousand
+    vanity hostnames on one CDN edge are still one server. ``host_ip``
+    is (host, ip) from the resolver cache — hosts without a row keep
+    their hostname as the key (conservative: unresolved hosts are never
+    merged). The frontier's ``host`` column is REPLACED by the key
+    ('ip:<addr>' or the original hostname) so select_round's rank
+    window, host_budgets and token_budgets all enforce per-server
+    politeness unchanged; the original hostname is kept as
+    ``origin_host`` for fetch/display. One equi-join against the
+    resolver table (hosts-sized, tiny next to the frontier; AQE
+    broadcasts it)."""
+    m = host_ip.select("host", F.col(ip_col).alias("_ip"))
+    return (
+        frontier_df.join(m, "host", "left")
+        .withColumn("origin_host", F.col("host"))
+        .withColumn(
+            "host",
+            F.coalesce(F.concat(F.lit("ip:"), F.col("_ip")), F.col("host")),
+        )
+        .drop("_ip")
+    )
+
+
 def salted_repartition(df: DataFrame, salt_n: int = 16, partitions: Optional[int] = None) -> DataFrame:
     """Spread hot hosts across partitions for the fetch/extract stage."""
     key = urlnorm.salted_host(F.col("host"), F.col("job_urls_seq"), salt_n)
