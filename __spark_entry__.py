@@ -3157,6 +3157,49 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut.select("host", "url_id", "priority", "job_urls_seq")
 
 
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl delta (freshness.snapshot_diff): snapshot A =
+    orders sans k%7==0 (those are 'added' in B), snapshot B = sans
+    k%11==3 ('removed'), content fingerprint bumps on k%5==0
+    ('changed'), everything else 'unchanged' — all four outcomes
+    non-vacuous. One full-outer join on the URL key; bucketed catalog
+    snapshots co-locate it shuffle-free at scale."""
+    from xtracted_crawlers_spark.operators import freshness
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = o.filter(k % 7 != 0).select(
+        urlgen.url_from_key(k).alias("url"),
+        F.md5(k.cast("string")).alias("fp"),
+    )
+    new = o.filter(k % 11 != 3).select(
+        urlgen.url_from_key(k).alias("url"),
+        F.when(k % 5 == 0, F.md5(F.concat(k.cast("string"), F.lit("v2"))))
+        .otherwise(F.md5(k.cast("string")))
+        .alias("fp"),
+    )
+    return freshness.snapshot_diff(old, new)
+
+
+SQL_CRAWL_SNAPSHOT_DIFF = f"""
+with o as (select {sql_url_from_key('o_orderkey')} as url,
+                  md5(cast(o_orderkey as varchar)) as fp
+           from orders where o_orderkey % 7 <> 0),
+n as (select {sql_url_from_key('o_orderkey')} as url,
+             case when o_orderkey % 5 = 0
+                  then md5(cast(o_orderkey as varchar) || 'v2')
+                  else md5(cast(o_orderkey as varchar)) end as fp
+      from orders where o_orderkey % 11 <> 3)
+select coalesce(o.url, n.url) as url,
+       case when o.fp is null then 'added'
+            when n.fp is null then 'removed'
+            when o.fp <> n.fp then 'changed'
+            else 'unchanged' end as change,
+       o.fp as old_fp, n.fp as new_fp
+from o full outer join n on o.url = n.url
+"""
+
+
 def q_crawl_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness by server, not hostname (scheduler.with_politeness_key):
     every third shop host resolves to one of 7 shared IPs (virtual
@@ -4602,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "crawl_focused_priority": q_crawl_focused_priority,
         "crawl_ip_politeness": q_crawl_ip_politeness,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4632,12 +4676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_join": q_crawl_fetch_join,
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
         "crawl_priority_schedule": q_crawl_priority_schedule,
-        "crawl_token_bucket": q_crawl_token_bucket,
         # ---------------- position 50 boundary is above -----------------
         # (re-verify with list(queries())[:50] after ANY insertion: the
-        # 22 round-5 queries pushed crawl_fair_schedule..dedup_ngram_jaccard
+        # 23 round-5 queries pushed crawl_token_bucket..dedup_ngram_jaccard
         # into the pool — all carry CORRECTNESS_r04 green rows, enforced
         # by tests/test_driver_window.py)
+        "crawl_token_bucket": q_crawl_token_bucket,
         "crawl_fair_schedule": q_crawl_fair_schedule,
         "crawl_change_rate": q_crawl_change_rate,
         "crawl_status_metrics": q_crawl_status_metrics,
@@ -4711,6 +4755,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_redirect_resolve": SQL_CRAWL_REDIRECT_RESOLVE,
         "crawl_focused_priority": SQL_CRAWL_FOCUSED_PRIORITY,
         "crawl_ip_politeness": SQL_CRAWL_IP_POLITENESS,
+        "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -100,3 +100,24 @@ def test_adaptive_recrawl_end_to_end(spark, tmp_path):
     # frontier is whole again: every reset row re-completed
     fr = load_frontier(spark, catalog)
     assert fr.filter(F.col("status") == "pending").count() == 0
+
+
+def test_snapshot_diff_all_outcomes(spark):
+    from xtracted_crawlers_spark.operators import freshness
+
+    old = spark.createDataFrame(
+        [("a", "f1"), ("b", "f2"), ("c", "f3")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("a", "f1"), ("b", "X2"), ("d", "f4")], "url string, fp string"
+    )
+    got = {
+        r.url: (r.change, r.old_fp, r.new_fp)
+        for r in freshness.snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "a": ("unchanged", "f1", "f1"),
+        "b": ("changed", "f2", "X2"),
+        "c": ("removed", "f3", None),
+        "d": ("added", None, "f4"),
+    }

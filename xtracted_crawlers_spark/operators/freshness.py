@@ -74,3 +74,34 @@ def due_for_recrawl(
     return stats.filter(
         F.col("last_time") + F.col("recrawl_interval") <= F.lit(int(current_time))
     ).select(id_col, "recrawl_interval", "last_time")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Crawl-over-crawl delta: (key, change, old_fp, new_fp) with change
+    in {'added','removed','changed','unchanged'} — the snapshot diff a
+    re-crawl pipeline feeds into refresh scheduling (changed/added ->
+    re-extract; removed -> tombstone) and incremental dedup (only
+    added/changed enter the near-dup candidate pool).
+
+    One full-outer equi-join on the key; at 100 TB both snapshots come
+    out of the same catalog bucketed by the key, so the join co-locates
+    without a shuffle. Fingerprints are whatever content hash the crawl
+    committed (text_fingerprint / md5) — this operator only compares."""
+    o = old.select(F.col(key_col).alias("_k"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("_k"), F.col(fp_col).alias("new_fp"))
+    j = o.join(n, "_k", "full_outer")
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        "old_fp",
+        "new_fp",
+    )
