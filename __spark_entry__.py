@@ -3157,6 +3157,61 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut.select("host", "url_id", "priority", "job_urls_seq")
 
 
+_PHRASES = {
+    "p_tscan": "table scan",          # common 2-gram
+    "p_bb": "batch batch",            # overlapping repeats ('b b b' = 2)
+    "p_msj": "merge slow join",       # 3-gram
+    "p_win": "window",                # single term == term frequency
+    "p_none": "purple unicorn",       # matches nothing -> absent rows
+}
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over positional postings
+    (search.positional_postings + phrase_search): anchor term joins
+    each following term at anchor+i, the candidate set shrinking per
+    join; the corpus is scanned once however many phrases probe.
+    The oracle counts sliding-window token-slice equality per doc —
+    an algorithm-independent mirror, so agreement checks the JOIN
+    CHAIN against the DEFINITION of phrase occurrence (incl.
+    overlapping matches and the single-term degenerate)."""
+    from xtracted_crawlers_spark.operators import search
+
+    d = _t(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        list(_PHRASES.items()), "phrase_id string, phrase_text string"
+    )
+    return search.phrase_search(d, phrases)
+
+
+def _sql_search_phrase() -> str:
+    parts = [
+        "with d as (select doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '') as toks from documents)"
+    ]
+    sels = []
+    for pid, ptext in _PHRASES.items():
+        ql = [t for t in ptext.lower().split() if t]
+        lit = "[" + ", ".join(f"'{t}'" for t in ql) + "]"
+        ln = len(ql)
+        sels.append(
+            f"select '{pid}' as phrase_id, doc_id,\n"
+            f"  cast(len(list_filter(range(1, greatest(len(toks) - {ln} + 2, 1)),\n"
+            f"       i -> toks[i:i+{ln - 1}] = {lit})) as bigint) as n_matches\n"
+            f"from d"
+        )
+    parts.append(
+        "select phrase_id, doc_id, n_matches from ("
+        + "\nunion all\n".join(sels)
+        + ") where n_matches > 0"
+    )
+    return "\n".join(parts)
+
+
+SQL_SEARCH_PHRASE = _sql_search_phrase()
+
+
 def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-over-crawl delta (freshness.snapshot_diff): snapshot A =
     orders sans k%7==0 (those are 'added' in B), snapshot B = sans
@@ -4646,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_focused_priority": q_crawl_focused_priority,
         "crawl_ip_politeness": q_crawl_ip_politeness,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
+        "search_phrase": q_search_phrase,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4675,12 +4731,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seq_assign": q_crawl_seq_assign,
         "crawl_fetch_join": q_crawl_fetch_join,
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
-        "crawl_priority_schedule": q_crawl_priority_schedule,
         # ---------------- position 50 boundary is above -----------------
         # (re-verify with list(queries())[:50] after ANY insertion: the
-        # 23 round-5 queries pushed crawl_token_bucket..dedup_ngram_jaccard
+        # 24 round-5 queries pushed crawl_priority_schedule..dedup_ngram_jaccard
         # into the pool — all carry CORRECTNESS_r04 green rows, enforced
         # by tests/test_driver_window.py)
+        "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_token_bucket": q_crawl_token_bucket,
         "crawl_fair_schedule": q_crawl_fair_schedule,
         "crawl_change_rate": q_crawl_change_rate,
@@ -4756,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_focused_priority": SQL_CRAWL_FOCUSED_PRIORITY,
         "crawl_ip_politeness": SQL_CRAWL_IP_POLITENESS,
         "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
+        "search_phrase": SQL_SEARCH_PHRASE,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -1176,3 +1176,45 @@ def test_classifier_score_math_and_plan(spark):
     out = df.select(cols["score"].alias("sc"))
     assert plans.python_eval_nodes(out) == []
     assert "Exchange" not in plans.physical_plan(out)
+
+
+# ---- positional postings + phrase search (operators/search.py) ------
+
+
+def test_phrase_search_semantics(spark):
+    from xtracted_crawlers_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),           # 'a a' overlaps: 2 matches
+            (2, "the table scan won"),
+            (3, "table ... scan"),    # punctuation splits: still adjacent
+            (4, "scan table"),        # wrong order: no match
+            (5, "x"),                 # shorter than any 2-gram phrase
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("q1", "a a"), ("q2", "Table SCAN"), ("q3", "a"), ("q4", "zz yy")],
+        "phrase_id string, phrase_text string",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_matches
+        for r in search.phrase_search(docs, phrases).collect()
+    }
+    assert got == {
+        ("q1", 1): 2,                 # overlapping occurrences both count
+        ("q2", 2): 1,
+        ("q2", 3): 1,                 # tokenizer strips punctuation
+        ("q3", 1): 3,                 # single term == term frequency
+    }
+
+
+def test_positional_postings_positions(spark):
+    from xtracted_crawlers_spark.operators import search
+
+    d = spark.createDataFrame([(7, "b a b")], "doc_id long, text string")
+    got = sorted(
+        (r.term, r.pos) for r in search.positional_postings(d).collect()
+    )
+    assert got == [("a", 1), ("b", 0), ("b", 2)]

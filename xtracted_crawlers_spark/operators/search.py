@@ -120,3 +120,84 @@ def bm25_topk(
         .filter(F.col("rank") <= F.lit(k))
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------
+# Positional postings + phrase search
+# ---------------------------------------------------------------------
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, pos): one row per token OCCURRENCE with its
+    0-based position — the positional index phrase/proximity queries
+    need. posexplode keeps position assignment inside codegen; the
+    table is corpus-token-sized (bigger than the (doc,term) postings —
+    that is inherent to positional indexes, not a plan defect)."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    return t.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "term")
+    ).select("doc_id", "term", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_text_col: str = "phrase_text",
+) -> DataFrame:
+    """(phrase_id, doc_id, n_matches): exact-phrase occurrence counts
+    via positional-join intersection — the classic inverted-index
+    phrase algorithm. The phrase's first term anchors; each subsequent
+    term must appear at anchor_pos + i. That is len(phrase)-1 equi-joins
+    on (doc_id, term, pos) — every join SHRINKS the candidate set (only
+    anchors that survived every previous position check continue), and
+    the corpus is touched once to build the positional table, however
+    many phrases probe it. Phrases are tokenized with the shared
+    tokenizer; the phrase table is query-sized (broadcast side).
+
+    Phrases longer than the longest document trivially match nothing;
+    single-term phrases degenerate to term frequency. Matches may
+    overlap ('a a' occurs twice in 'a a a') — standard positional
+    semantics."""
+    p = positional_postings(docs, id_col=id_col, text_col=text_col)
+    q = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.posexplode(tokens(F.col(phrase_text_col))).alias("i", "qterm"),
+    )
+    # the longest phrase bounds the unrolled join chain — one scalar off
+    # the QUERY-sized table (same driver-scalar exception class as the
+    # k-means codebook in similarity.py; never corpus-dependent)
+    max_len_row = q.agg(F.max("i").alias("m")).first()
+    max_i = int(max_len_row.m if max_len_row.m is not None else 0)
+
+    anchors = (
+        q.filter(F.col("i") == 0)
+        .join(p, F.col("qterm") == p["term"])
+        .select("phrase_id", "doc_id", F.col("pos").alias("anchor"))
+    )
+    cur = anchors
+    for i in range(1, max_i + 1):
+        qi = q.filter(F.col("i") == i).select("phrase_id", "qterm")
+        # phrases shorter than i+1 terms have no row in qi and must
+        # pass through unchecked: split, check, re-union
+        checked = (
+            cur.join(qi, "phrase_id")
+            .join(
+                p,
+                (cur["doc_id"] == p["doc_id"])
+                & (F.col("qterm") == p["term"])
+                & (p["pos"] == cur["anchor"] + i),
+            )
+            .select("phrase_id", cur["doc_id"].alias("doc_id"), "anchor")
+        )
+        unchecked = cur.join(qi.select("phrase_id"), "phrase_id", "left_anti")
+        cur = checked.unionByName(unchecked)
+    return cur.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
