@@ -1620,6 +1620,44 @@ limit 50
 """
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990) over the documents
+    corpus: top-100 adjacent word pairs by lift = N*c(x,y)/(c(x)*c(y)),
+    min pair count 5. Ranking uses the exact integer-ratio lift instead
+    of ln(lift) — monotone-identical ordering, and the division of
+    exact int64 products is IEEE exactly-rounded so Spark and DuckDB
+    agree bitwise (ln is not exactly rounded across libms). Plan shape:
+    map-only tokenize/zip, two vocabulary-sized groupBys, two
+    count-table joins, one-row cross join for N, TakeOrdered top-k —
+    documents are scanned twice and never shuffled."""
+    from xtracted_crawlers_spark.operators import collocations
+
+    return collocations.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
+SQL_TEXT_COLLOCATIONS = """
+with w as (select regexp_extract_all(lower(text), '[a-z0-9]+') as ws from documents),
+uni as (select unnest(ws) as w from w),
+uc as (select w, count(*) as n_w from uni group by w),
+tot as (select count(*) as n_tokens from uni),
+big as (select ws[t.i] as w1, ws[t.i + 1] as w2
+        from w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) as t(i)),
+bc as (select w1, w2, count(*) as n_pair from big group by w1, w2),
+s as (select w1, w2, n_pair, u1.n_w as n_w1, u2.n_w as n_w2,
+        round(cast(n_tokens * n_pair as double)
+              / cast(u1.n_w * u2.n_w as double), 4) as lift
+      from bc
+      join uc u1 on bc.w1 = u1.w
+      join uc u2 on bc.w2 = u2.w
+      cross join tot
+      where n_pair >= 5)
+select w1, w2, n_pair, n_w1, n_w2, lift
+from s order by lift desc, w1, w2 limit 100
+"""
+
+
 def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-feedback-into-crawl-priority composition: documents
     roll up to their (synthesized doc_id→shop) host with count and mean
@@ -4702,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_ip_politeness": q_crawl_ip_politeness,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "search_phrase": q_search_phrase,
+        "text_collocations": q_text_collocations,
         # -- round-4 tail: never driver-checked before round 5 ----------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -4813,6 +4852,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_ip_politeness": SQL_CRAWL_IP_POLITENESS,
         "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
         "search_phrase": SQL_SEARCH_PHRASE,
+        "text_collocations": SQL_TEXT_COLLOCATIONS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -4,7 +4,7 @@ uses (tests/test_oracle_contract._frame_rows). The pytest fixture pins
 sf0.001; the driver verifies at sf0.01 — run this before shipping new
 queries (sf0.001 once missed a rounding drift that sf0.01 caught).
 
-Usage: python3 scripts/oracle_sweep.py [sf0.01 sf0.1 ...]
+Usage: python3 scripts/oracle_sweep.py [sf0.01 sf0.1 ...] [--only q1,q2]
 """
 
 from __future__ import annotations
@@ -31,7 +31,13 @@ def main() -> None:
 
     from xtracted_crawlers_spark.session import get_spark
 
-    sfs = sys.argv[1:] or ["sf0.01"]
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sfs = argv or ["sf0.01"]
     spark = get_spark("oracle-sweep", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
@@ -43,6 +49,8 @@ def main() -> None:
                 f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
             )
         for name in sorted(em.oracle_sql()):
+            if only is not None and name not in only:
+                continue
             spdf = em.queries()[name](spark, sf_dir).toPandas()
             ddf = con.sql(em.oracle_sql()[name]).df()
             ok = (

@@ -1218,3 +1218,61 @@ def test_positional_postings_positions(spark):
         (r.term, r.pos) for r in search.positional_postings(d).collect()
     )
     assert got == [("a", 1), ("b", 0), ("b", 2)]
+
+
+def test_pmi_collocations_match_pure_python(spark):
+    """pmi_collocations vs a brute-force Counter twin on a small corpus
+    with known structure: 'new york' is a strong collocation (always
+    adjacent), 'the of' never occurs, and 'a a' has lift < 1."""
+    import re
+    from collections import Counter
+
+    from xtracted_crawlers_spark.operators import collocations
+
+    texts = [
+        "new york is big and new york is loud",
+        "I saw New York from a plane over new york",
+        "a a a the cat the dog a the bird",
+        "the cat saw a dog in new york",
+    ] * 3
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["n_w1"], r["n_w2"], r["lift"])
+        for r in collocations.pmi_collocations(docs, min_count=2, top_k=1000).collect()
+    }
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n = sum(uni.values())
+    want = {
+        (w1, w2): (c, uni[w1], uni[w2], round(n * c / (uni[w1] * uni[w2]), 4))
+        for (w1, w2), c in big.items()
+        if c >= 2
+    }
+    assert got == want
+    assert got[("new", "york")][3] > 1.0  # genuine collocation
+    assert ("the", "of") not in got
+    # "new york" is always adjacent; "a a" only sometimes — lift ranks
+    # the true collocation strictly above the incidental repetition
+    # (111*15/15^2 = 7.4 vs 111*6/18^2 = 2.06 on this corpus).
+    assert got[("new", "york")][3] > got[("a", "a")][3]
+
+
+def test_pmi_collocations_topk_boundary_deterministic(spark):
+    """Ties in lift at the k-boundary are broken by (w1, w2) — two runs
+    and a permuted-input run return identical sets."""
+    from xtracted_crawlers_spark.operators import collocations
+
+    texts = [(i, "x y p q x y p q m n") for i in range(20)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    a = collocations.pmi_collocations(docs, min_count=2, top_k=3).collect()
+    b = collocations.pmi_collocations(
+        spark.createDataFrame(list(reversed(texts)), "doc_id long, text string"),
+        min_count=2,
+        top_k=3,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 3
