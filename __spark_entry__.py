@@ -1658,6 +1658,79 @@ from s order by lift desc, w1, w2 limit 100
 """
 
 
+def q_link_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation (Small 1973) at page→host granularity: which host
+    pairs are cited together by the same source pages?  max_degree=5
+    exercises the hub cap (orderkeys with 6-7 distinct dst hosts are
+    dropped before the self-join — the O(d²) guard that makes this
+    viable on a 10^10-edge graph); min_common=2 prunes coincidental
+    pairs inside the aggregate.  Top-100 by (n_common desc, a, b) —
+    deterministic because (a, b) is unique after the groupBy."""
+    from xtracted_crawlers_spark.operators import cocitation
+
+    e = _edges(spark, sf_dir).select(
+        "src", urlnorm.host(F.col("dst")).alias("dst")
+    )
+    return (
+        cocitation.cocitation(e, max_degree=5, min_common=2)
+        .orderBy(F.col("n_common").desc(), "a", "b")
+        .limit(100)
+    )
+
+
+SQL_LINK_COCITATION = f"""
+with edges as (select {sql_url_from_key('l_orderkey')} as src,
+                      {sql_url_from_key('l_orderkey * 7 + l_linenumber')} as dst
+               from lineitem),
+he as (select distinct src, lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as dst
+       from edges),
+deg as (select src, count(*) as d from he group by src),
+kept as (select he.src, he.dst from he join deg using (src) where d <= 5),
+p as (select a.dst as a, b.dst as b, count(*) as n_common
+      from kept a join kept b on a.src = b.src and a.dst < b.dst
+      group by 1, 2
+      having count(*) >= 2)
+select a, b, n_common from p order by n_common desc, a, b limit 100
+"""
+
+
+def q_corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over cumulative id-range
+    prefixes of the documents corpus: (bucket, cutoff_id, n_docs,
+    n_tokens, vocab) for deciles 1..10.  All-integer arithmetic (the
+    only division is bucket assignment, exact in double at these
+    magnitudes) so the oracle is hash-exact; the final cumulative
+    window runs over exactly 10 rows — bounded by n_buckets, not by
+    corpus size."""
+    from xtracted_crawlers_spark.operators import corpusstats
+
+    return corpusstats.heaps_curve(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
+SQL_CORPUS_HEAPS = """
+with mx as (select max(doc_id) as m from documents),
+ks as (select unnest(generate_series(1, 10)) as bucket),
+cut as (select bucket, cast(floor(bucket * m / 10.0) as bigint) as cutoff_id
+        from ks cross join mx),
+dt as (select doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) as ntok
+       from documents),
+fs as (select w, min(doc_id) as first_doc
+       from (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as w
+             from documents)
+       group by w),
+dagg as (select c.bucket,
+                cast(count(dt.doc_id) as bigint) as n_docs,
+                cast(coalesce(sum(dt.ntok), 0) as bigint) as n_tokens
+         from cut c left join dt on dt.doc_id <= c.cutoff_id
+         group by c.bucket),
+vagg as (select c.bucket, cast(count(fs.w) as bigint) as vocab
+         from cut c left join fs on fs.first_doc <= c.cutoff_id
+         group by c.bucket)
+select c.bucket, c.cutoff_id, d.n_docs, d.n_tokens, v.vocab
+from cut c join dagg d using (bucket) join vagg v using (bucket)
+"""
+
+
 def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-feedback-into-crawl-priority composition: documents
     roll up to their (synthesized doc_id→shop) host with count and mean
@@ -4716,6 +4789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- NEW this round (policy rule 1) ------------------------------
+        "link_cocitation": q_link_cocitation,
+        "corpus_heaps": q_corpus_heaps,
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
@@ -4853,6 +4928,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
         "search_phrase": SQL_SEARCH_PHRASE,
         "text_collocations": SQL_TEXT_COLLOCATIONS,
+        "link_cocitation": SQL_LINK_COCITATION,
+        "corpus_heaps": SQL_CORPUS_HEAPS,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
