@@ -3205,6 +3205,72 @@ def _sql_pagerank_ctes(
 SQL_LINK_PAGERANK = _sql_link_pagerank()
 
 
+def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the synthesized host
+    graph: PageRank with teleport mass uniform over a trusted seed set
+    (hosts whose shop number is ≡0 mod 10 — 5 of the 50). HASH-EXACT
+    like link_pagerank: exact_fold contribution sums, 1.0/|seeds| and
+    (1.0-0.85)*w are single exactly-rounded IEEE ops in both engines,
+    and the DuckDB twin unrolls the same fixed iterations with the
+    proven list_dot_product fold."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    he = linkgraph.host_edges(_edges(spark, sf_dir))
+    nodes = (
+        he.select(F.col("src_host").alias("node"))
+        .unionByName(he.select(F.col("dst_host").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.regexp_extract(F.col("node"), r"^shop(\d{5})\.", 1).cast("int") % 10 == 0
+    )
+    return linkgraph.trustrank(he, seeds, iters=_PAGERANK_ITERS, exact_fold=True)
+
+
+def _sql_link_trustrank(iters: int = _PAGERANK_ITERS, damping: str = "0.85") -> str:
+    """Unrolled TrustRank CTE chain mirroring linkgraph.trustrank(...,
+    exact_fold=True) bit-exactly — same fold as _sql_link_pagerank, but
+    rank0 = tele weight and the restart term is (1.0-d)*w per node."""
+    parts = [
+        f"with {_SQL_EDGES},",
+        "e as (select src_host as src, dst_host as dst from he),",
+        "nodes as (select src as node from e union select dst as node from e),",
+        r"seeds as (select node from nodes"
+        r" where cast(regexp_extract(node, '^shop(\d{5})\.', 1) as int) % 10 = 0),",
+        "scnt as (select cast(count(*) as double) as s from seeds),",
+        "tele as (select n.node,\n"
+        "  case when sd.node is not null then (select 1.0 / s from scnt)\n"
+        "       else 0.0 end as w\n"
+        "  from nodes n left join seeds sd on sd.node = n.node),",
+        "deg as (select src, cast(count(*) as double) as deg from e group by 1),",
+        "r0 as (select node, w as rank from tele),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} as (select e.dst as node,\n"
+            f"  list_dot_product(list(r.rank / d.deg order by e.src),\n"
+            f"                   list(1.0 order by e.src)) as s\n"
+            f"  from e join deg d using (src) join r{i-1} r on r.node = e.src\n"
+            f"  group by e.dst),"
+        )
+        parts.append(
+            # cast-to-double BEFORE subtracting: DuckDB parses 1.0-0.85
+            # as exact DECIMAL (0.15) while Spark's driver folds the
+            # Python doubles (0.15000000000000002) — a 1-ulp drift the
+            # uniform pagerank oracle's /n absorbed but *w does not.
+            f"r{i} as (select t.node,\n"
+            f"  (cast(1.0 as double) - cast({damping} as double)) * t.w\n"
+            f"    + {damping} * coalesce(s{i}.s, 0.0) as rank\n"
+            f"  from tele t left join s{i} on s{i}.node = t.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"select node, rank from r{iters}")
+    return "\n".join(parts)
+
+
+SQL_LINK_TRUSTRANK = _sql_link_trustrank()
+
+
 def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-prioritized frontier — the full authority-feedback
     composition a production crawler runs: the link graph harvested by
@@ -4791,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this round (policy rule 1) ------------------------------
         "link_cocitation": q_link_cocitation,
         "corpus_heaps": q_corpus_heaps,
+        "link_trustrank": q_link_trustrank,
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
@@ -4930,6 +4997,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": SQL_TEXT_COLLOCATIONS,
         "link_cocitation": SQL_LINK_COCITATION,
         "corpus_heaps": SQL_CORPUS_HEAPS,
+        "link_trustrank": SQL_LINK_TRUSTRANK,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -356,3 +356,76 @@ def test_hits_matches_pure_python_and_direction(spark):
           for r in linkgraph.hits(df, iters=6, exact_fold=True).collect()}
     for n in nodes:
         assert abs(ef[n][0] - got[n][0]) < 1e-9 and abs(ef[n][1] - got[n][1]) < 1e-9
+
+
+def _trustrank_py(edges, seeds, d=0.85, iters=10):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    seeds = sorted(set(seeds) & set(nodes))
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    w = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    rank = dict(w)
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {v: (1 - d) * w[v] + d * contrib[v] for v in nodes}
+    return rank
+
+
+def test_trustrank_matches_reference_impl(spark):
+    # spam farm e<->f linked only from each other; a is the trusted seed
+    edges_py = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("b", "d"), ("e", "f"), ("f", "e"), ("e", "c"),
+    ]
+    edges = spark.createDataFrame(edges_py, "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"] for r in linkgraph.trustrank(edges, seeds, iters=12).collect()}
+    want = _trustrank_py(edges_py, ["a"], iters=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # the spam farm is unreachable from the seed: exactly zero trust
+    assert got["e"] == 0.0 and got["f"] == 0.0
+    # every seed-reachable node outranks the farm
+    assert min(got[v] for v in "abcd") > 0.0
+
+
+def test_trustrank_seed_hygiene(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src_host string, dst_host string")
+    # seeds outside the graph are ignored, duplicates collapse
+    seeds = spark.createDataFrame([("a",), ("a",), ("zz",)], "node string")
+    got = {r["node"]: r["rank"] for r in linkgraph.trustrank(edges, seeds, iters=8).collect()}
+    want = _trustrank_py([("a", "b"), ("b", "a")], ["a"], iters=8)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        linkgraph.trustrank(
+            edges, spark.createDataFrame([("zz",)], "node string"), iters=2
+        ).collect()
+
+
+def test_pagerank_uniform_path_unchanged_by_tele_param(spark):
+    """tele=None must reproduce the exact pre-refactor doubles (the
+    link_pagerank oracle pins them): compare against the pure-Python
+    uniform recurrence at bit tolerance via exact_fold determinism."""
+    edges_py = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    edges = spark.createDataFrame(edges_py, "src_host string, dst_host string")
+    got = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(edges, iters=6, exact_fold=True).collect()
+    }
+    # exact recurrence with the SAME constant folding ((1-d)/n literal)
+    nodes = ["a", "b", "c"]
+    out = {"a": 2, "b": 1, "c": 1}
+    rank = {v: 1.0 / 3 for v in nodes}
+    for _ in range(6):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in sorted(edges_py):
+            contrib[t] += rank[s] / out[s]
+        rank = {v: (1.0 - 0.85) / 3 + 0.85 * contrib[v] for v in nodes}
+    assert got == rank

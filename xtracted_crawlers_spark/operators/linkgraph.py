@@ -246,6 +246,7 @@ def pagerank(
     checkpoint_every: int = 4,
     checkpoint_dir: str | None = None,
     exact_fold: bool = False,
+    tele: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an (unweighted-interpretation) edge table. Returns
     (node, rank). Dangling nodes contribute no out-mass (their mass
@@ -271,7 +272,13 @@ def pagerank(
     fold by the ANN oracles). Cost: one collect_list per node per
     iteration — each list is a node's in-degree, so a mega-in-degree hub
     concentrates one task; keep the default F.sum (partial-combine, no
-    list) for production runs and exact_fold for verification."""
+    list) for production runs and exact_fold for verification.
+
+    tele: optional (node, w) teleport distribution (weights should sum
+    to 1) — rank₀ = w and the restart term becomes (1-d)·w per node,
+    i.e. personalized PageRank; :func:`trustrank` builds the seed-
+    uniform case. None keeps the classic uniform 1/N behavior (and its
+    exact constant-folded doubles) unchanged."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
@@ -284,7 +291,22 @@ def pagerank(
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     e_deg = e.join(out_deg, "src").cache()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if tele is None:
+        base = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        # personalized teleport: (node, w) with weights summing to 1.
+        # Non-listed nodes get 0 teleport mass; init rank = w, and the
+        # update's constant term becomes (1-d)*w per node.  The uniform
+        # branch above is deliberately NOT rewritten in terms of this
+        # one — (1-d)/n and (1-d)*(1/n) round differently, and the
+        # uniform path's doubles are pinned by the link_pagerank oracle.
+        base = (
+            nodes.join(tele.select("node", F.col("w").alias("_w")), "node", "left")
+            .select("node", F.coalesce("_w", F.lit(0.0)).alias("_w"))
+            .cache()
+        )
+        ranks = base.select("node", F.col("_w").alias("rank"))
     for i in range(iters):
         contrib_rows = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -306,22 +328,88 @@ def pagerank(
             )
         else:
             contribs = contrib_rows.groupBy("node").agg(F.sum("c").alias("_sum"))
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
-                ).alias("rank"),
+        if base is None:
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            ranks = (
+                base.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("_w")
+                        + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         if (i + 1) % checkpoint_every == 0:
             ranks = (
                 ranks.checkpoint() if checkpoint_dir is not None else ranks.localCheckpoint()
             )
     e_deg.unpersist()
+    if base is not None:
+        base.unpersist()
     return ranks
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport distribution concentrated on a
+    hand-vetted trusted seed set, so trust flows outward from known-good
+    hosts and link-spam farms (reachable mostly from each other) score
+    near zero.  The standard crawl-prioritization / spam-demotion
+    signal next to raw PageRank.
+
+    ``seeds`` is a one-column (node) DataFrame.  Teleport mass is
+    uniform over the DISTINCT seed nodes present in the graph (trust
+    can only be placed on crawlable nodes — seeds outside the graph are
+    ignored rather than silently leaking mass).  Returns (node, rank);
+    unreachable non-seed nodes get exactly 0.0.  Same per-iteration
+    shape, checkpointing and exact_fold semantics as :func:`pagerank`.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds_in = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .cache()
+    )
+    s = seeds_in.count()
+    if s == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    tele = seeds_in.withColumn("w", F.lit(1.0 / s))
+    out = pagerank(
+        edges,
+        damping=damping,
+        iters=iters,
+        src_col=src_col,
+        dst_col=dst_col,
+        exact_fold=exact_fold,
+        tele=tele,
+    )
+    seeds_in.unpersist()
+    return out
 
 
 def hits(
