@@ -1731,6 +1731,86 @@ from cut c join dagg d using (bucket) join vagg v using (bucket)
 """
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining over a three-shape synthetic frontier
+    (catalog /product/{n}/view, session-id /item/{h}?session={h},
+    calendar /cal/{n}/{n}/{n}): collapse volatile tokens, census URL
+    shapes per host. Hex runs collapse BEFORE digit runs (both
+    engines), so md5-derived ids become {h}, and 8+-digit numbers are
+    hex runs too — deterministic and mirrored. Top-100 by (n_urls
+    desc, host, template); (host, template) is unique after the
+    groupBy so the cut is stable."""
+    from xtracted_crawlers_spark.operators import urltemplates
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    host = F.concat(
+        F.lit("https://shop"),
+        F.lpad((k % 50).cast("string"), 5, "0"),
+        F.lit(".example.test"),
+    )
+    path = (
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("/product/"), k.cast("string"), F.lit("/view")),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("/item/"),
+                F.substring(F.md5(k.cast("string")), 1, 12),
+                F.lit("?session="),
+                F.substring(F.md5((k + 7).cast("string")), 1, 16),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/cal/2024/"),
+                F.lpad((k % 12 + 1).cast("string"), 2, "0"),
+                F.lit("/"),
+                F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+            )
+        )
+    )
+    urls = o.select(F.concat(host, path).alias("url"))
+    return (
+        urltemplates.template_counts(urls)
+        .orderBy(F.col("n_urls").desc(), "host", "template")
+        .limit(100)
+    )
+
+
+SQL_URL_TEMPLATES = r"""
+with u as (
+  select 'https://shop' || lpad(cast(o_orderkey % 50 as varchar), 5, '0')
+         || '.example.test'
+         || case when o_orderkey % 3 = 0
+                 then '/product/' || cast(o_orderkey as varchar) || '/view'
+                 when o_orderkey % 3 = 1
+                 then '/item/' || substr(md5(cast(o_orderkey as varchar)), 1, 12)
+                      || '?session=' || substr(md5(cast(o_orderkey + 7 as varchar)), 1, 16)
+                 else '/cal/2024/' || lpad(cast(o_orderkey % 12 + 1 as varchar), 2, '0')
+                      || '/' || lpad(cast(o_orderkey % 28 + 1 as varchar), 2, '0')
+            end as url
+  from orders),
+t as (select lower(regexp_extract(url, @NETLOC@, 1)) as host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', '\1'),
+                 '[0-9a-fA-F]{8,}', '{h}', 'g'),
+               '[0-9]+', '{n}', 'g') as template,
+             url
+      from u)
+select host, template,
+       cast(count(*) as bigint) as n_urls,
+       cast(count(distinct url) as bigint) as n_distinct
+from t
+group by 1, 2
+order by n_urls desc, host, template
+limit 100
+""".replace("@NETLOC@", NETLOC_RE_SQL)
+
+
 def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-feedback-into-crawl-priority composition: documents
     roll up to their (synthesized doc_id→shop) host with count and mean
@@ -4858,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_cocitation": q_link_cocitation,
         "corpus_heaps": q_corpus_heaps,
         "link_trustrank": q_link_trustrank,
+        "url_templates": q_url_templates,
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
@@ -4998,6 +5079,7 @@ def oracle_sql() -> dict[str, str]:
         "link_cocitation": SQL_LINK_COCITATION,
         "corpus_heaps": SQL_CORPUS_HEAPS,
         "link_trustrank": SQL_LINK_TRUSTRANK,
+        "url_templates": SQL_URL_TEMPLATES,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

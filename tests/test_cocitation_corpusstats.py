@@ -108,3 +108,48 @@ def test_heaps_curve_doc_id_zero_lands_in_first_bucket(spark):
     rows = {r.bucket: r for r in corpusstats.heaps_curve(df, n_buckets=2).collect()}
     assert rows[1].n_docs == 1 and rows[1].vocab == 2
     assert rows[2].n_docs == 2 and rows[2].vocab == 3  # "words" shared
+
+
+def _py_template(url):
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", url)
+    t = m.group(1) if m else url
+    t = re.sub(r"[0-9a-fA-F]{8,}", "{h}", t)
+    return re.sub(r"[0-9]+", "{n}", t)
+
+
+def test_url_template_counts_match_bruteforce(spark):
+    from urllib.parse import urlsplit
+
+    from xtracted_crawlers_spark.operators import urltemplates
+
+    urls = (
+        [f"https://a.test/product/{i}/view" for i in range(20)]
+        + [f"https://a.test/item/deadbeef{i:04d}?session=cafe1234beef" for i in range(5)]
+        + ["https://a.test/item/deadbeef0001?session=cafe1234beef"]  # dup URL
+        + [f"https://b.test/cal/2024/{m:02d}/{d:02d}" for m in (1, 2) for d in (1, 2, 3)]
+        + ["https://b.test/"]
+        + ["not-a-url/123"]  # no host -> dropped
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r.host, r.template): (r.n_urls, r.n_distinct)
+        for r in urltemplates.template_counts(df).collect()
+    }
+    from collections import defaultdict
+
+    rows = defaultdict(lambda: [0, set()])
+    for u in urls:
+        host = urlsplit(u).netloc.lower() if "://" in u else ""
+        if not host:
+            continue
+        k = (host, _py_template(u))
+        rows[k][0] += 1
+        rows[k][1].add(u)
+    want = {k: (n, len(d)) for k, (n, d) in rows.items()}
+    assert got == want
+    assert got[("a.test", "/product/{n}/view")] == (20, 20)
+    # hex collapsed BEFORE digits: session ids become {h}, not {n}x{n}
+    assert got[("a.test", "/item/{h}?session={h}")] == (6, 5)
+    assert got[("b.test", "/cal/{n}/{n}/{n}")] == (6, 6)
+    assert got[("b.test", "/")] == (1, 1)
+    assert not any(h == "" for h, _ in got)
