@@ -1811,6 +1811,42 @@ limit 100
 """.replace("@NETLOC@", NETLOC_RE_SQL)
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint census (Schleimer et al., SIGMOD 2003)
+    over documents: select ~2/(w+1) of 5-gram md5 hashes via window-4
+    minima (one map-only projection per doc), then count documents per
+    fingerprint — n_docs >= 2 marks verbatim 8-token overlap. Top-200
+    by (n_docs desc, fp); fp is unique after the groupBy."""
+    from xtracted_crawlers_spark.operators import winnow
+
+    fps = winnow.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+    return (
+        winnow.shared_fingerprints(fps)
+        .orderBy(F.col("n_docs").desc(), "fp")
+        .limit(200)
+    )
+
+
+SQL_TEXT_WINNOW = """
+with d as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as toks
+           from documents),
+g as (select doc_id, t.i as pos,
+             md5(array_to_string(toks[t.i:t.i + 4], ' ')) as h
+      from d, unnest(generate_series(1, greatest(len(toks) - 4, 0))) as t(i)),
+n as (select doc_id, count(*) as cnt from g group by doc_id),
+wins as (select doc_id, pos,
+                min(h) over (partition by doc_id order by pos
+                             rows between current row and 3 following) as fp
+         from g),
+fps as (select distinct w.doc_id, w.fp
+        from wins w join n using (doc_id)
+        where w.pos <= n.cnt - 3)
+select fp, cast(count(*) as bigint) as n_docs
+from fps group by fp
+order by n_docs desc, fp limit 200
+"""
+
+
 def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-feedback-into-crawl-priority composition: documents
     roll up to their (synthesized doc_id→shop) host with count and mean
@@ -4939,6 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_heaps": q_corpus_heaps,
         "link_trustrank": q_link_trustrank,
         "url_templates": q_url_templates,
+        "text_winnow": q_text_winnow,
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
@@ -5080,6 +5117,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_heaps": SQL_CORPUS_HEAPS,
         "link_trustrank": SQL_LINK_TRUSTRANK,
         "url_templates": SQL_URL_TEMPLATES,
+        "text_winnow": SQL_TEXT_WINNOW,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

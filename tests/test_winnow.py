@@ -1,0 +1,63 @@
+"""Winnowing fingerprints vs a pure-Python twin + the winnowing
+theorem's overlap guarantee."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from xtracted_crawlers_spark.operators import winnow
+
+
+def _py_winnow(text, k, w):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    mins = [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+    out, seen = [], set()
+    for m in mins:
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def test_winnow_matches_bruteforce(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "words " * 30),
+        (3, "short doc"),  # < k tokens -> no fingerprints
+        (4, "exactly five tokens here now"),  # == k -> 1 gram < w windows
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow.winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in texts:
+        want = set(_py_winnow(t, 5, 4))
+        assert got.get(i, set()) == want, i
+    assert 3 not in got and 4 not in got
+
+
+def test_winnow_theorem_shared_substring_detected(spark):
+    """Any shared run of >= w+k-1 tokens yields a shared fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    a = "unique one two three " + shared + " tail x y z"
+    b = "other prefix tokens here " + shared + " different ending"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = winnow.winnow_fingerprints(df, k=5, w=4)
+    common = (
+        winnow.shared_fingerprints(fps).filter("n_docs >= 2").count()
+    )
+    assert common >= 1
+
+
+def test_winnow_density(spark):
+    """Selection keeps roughly 2/(w+1) of k-gram hashes on random-ish
+    text (sanity bound, not exact)."""
+    text = " ".join(f"tok{(i * 7919) % 1000}x{i % 13}" for i in range(400))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnow.winnow_fingerprints(df, k=5, w=4).count()
+    n_grams = 400 - 4
+    assert n_fp < 0.5 * n_grams
+    assert n_fp > 0.1 * n_grams

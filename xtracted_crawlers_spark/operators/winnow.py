@@ -1,0 +1,93 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm).
+
+Local document fingerprinting with a GUARANTEE the repo's other
+fingerprint ops don't give: any shared substring of at least w+k-1
+tokens between two documents produces at least one IDENTICAL selected
+fingerprint in both (the winnowing theorem), while only ~2/(w+1) of
+all k-gram hashes are kept.  That makes it the standard tool for
+partial-overlap detection — quotation, boilerplate reuse, plagiarism —
+where whole-doc hashes (textops.fingerprint) miss and MinHash only
+estimates global similarity.
+
+Selection rule: hash every k-gram, slide a window of w consecutive
+hashes, keep the minimum of each window, dedup per document.  Hashes
+are md5 hex STRINGS compared lexicographically — the repo-wide
+convention (see operators/dedup.py): both engines implement RFC-1321
+md5 byte-identically, so the DuckDB oracle reproduces every selected
+fingerprint exactly, and a uniform hash is order-equivalent under hex
+lexicographic and numeric comparison.
+
+Scale shape (100 TB): tokenize → k-gram → hash → window-min → dedup is
+ONE map-only projection per document (nested higher-order array
+functions, no explode before selection, no Python); per-row memory is
+bounded by document length.  The only shuffles are whatever the caller
+does with the selected (doc_id, fp) rows — typically a fp groupBy
+(vocabulary-sized) or an equi self-join on fp to find overlapping doc
+pairs, both orders of magnitude smaller than the corpus because of the
+2/(w+1) thinning.
+
+The reference crawler has no fingerprinting; this extends the dedup
+family of the training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xtracted_crawlers_spark.operators.collocations import words_array
+
+
+def _empty_str_array() -> Column:
+    return F.array().cast("array<string>")
+
+
+def kgram_hashes(toks: Column, k: int) -> Column:
+    """md5 hex of every k-gram (space-joined) of a token array —
+    positions 1..len-k+1; empty when the doc has fewer than k tokens."""
+    n_grams = F.size(toks) - F.lit(k - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(_empty_str_array())
+
+
+def window_minima(hashes: Column, w: int) -> Column:
+    """Minimum of each window of w consecutive hashes, deduped —
+    the winnowing selection; empty when there are fewer than w hashes."""
+    n_wins = F.size(hashes) - F.lit(w - 1)
+    return F.array_distinct(
+        F.when(
+            n_wins >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            ),
+        ).otherwise(_empty_str_array())
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) — the selected winnowing fingerprints per document
+    (distinct within a document). Docs shorter than w+k-1 tokens yield
+    no rows."""
+    fps = window_minima(kgram_hashes(words_array(F.col(text_col)), k), w)
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp"))
+
+
+def shared_fingerprints(fps: DataFrame) -> DataFrame:
+    """(fp, n_docs) — how many documents selected each fingerprint;
+    n_docs >= 2 marks verbatim k-token overlap between documents.
+    Input rows are (doc_id, fp) unique per doc, so count(*) counts
+    documents."""
+    return fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
