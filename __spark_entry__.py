@@ -3387,6 +3387,58 @@ def _sql_link_trustrank(iters: int = _PAGERANK_ITERS, damping: str = "0.85") -> 
 SQL_LINK_TRUSTRANK = _sql_link_trustrank()
 
 
+_OPIC_ROUNDS = 6
+
+
+def q_link_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC (Abiteboul et al., WWW 2003) batch-synchronous cash/history
+    over the synthesized host graph — the incremental importance
+    estimate a crawler updates as part of each round instead of running
+    full PageRank iterations. HASH-EXACT: exact_fold contribution sums
+    plus an order-free history '+' per round; the DuckDB twin unrolls
+    the same rounds with the proven list_dot_product fold."""
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    return linkgraph.opic(
+        linkgraph.host_edges(_edges(spark, sf_dir)),
+        rounds=_OPIC_ROUNDS,
+        exact_fold=True,
+    )
+
+
+def _sql_link_opic(rounds: int = _OPIC_ROUNDS) -> str:
+    """Unrolled OPIC CTE chain mirroring linkgraph.opic(...,
+    exact_fold=True) bit-exactly."""
+    parts = [
+        f"with {_SQL_EDGES},",
+        "e as (select src_host as src, dst_host as dst from he),",
+        "nodes as (select src as node from e union select dst as node from e),",
+        "cnt as (select cast(count(*) as double) as n from nodes),",
+        "deg as (select src, cast(count(*) as double) as deg from e group by 1),",
+        "st0 as (select node, (select 1.0 / n from cnt) as c, 0.0 as h from nodes),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"s{i} as (select e.dst as node,\n"
+            f"  list_dot_product(list(r.c / d.deg order by e.src),\n"
+            f"                   list(1.0 order by e.src)) as s\n"
+            f"  from e join deg d using (src) join st{i-1} r on r.node = e.src\n"
+            f"  group by e.dst),"
+        )
+        parts.append(
+            f"st{i} as (select t.node, coalesce(s{i}.s, 0.0) as c, t.h + t.c as h\n"
+            f"  from st{i-1} t left join s{i} on s{i}.node = t.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"select node, c as cash, h as history, h + c as importance from st{rounds}"
+    )
+    return "\n".join(parts)
+
+
+SQL_LINK_OPIC = _sql_link_opic()
+
+
 def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-prioritized frontier — the full authority-feedback
     composition a production crawler runs: the link graph harvested by
@@ -4976,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_trustrank": q_link_trustrank,
         "url_templates": q_url_templates,
         "text_winnow": q_text_winnow,
+        "link_opic": q_link_opic,
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
@@ -5118,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
         "link_trustrank": SQL_LINK_TRUSTRANK,
         "url_templates": SQL_URL_TEMPLATES,
         "text_winnow": SQL_TEXT_WINNOW,
+        "link_opic": SQL_LINK_OPIC,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,

@@ -429,3 +429,56 @@ def test_pagerank_uniform_path_unchanged_by_tele_param(spark):
             contrib[t] += rank[s] / out[s]
         rank = {v: (1.0 - 0.85) / 3 + 0.85 * contrib[v] for v in nodes}
     assert got == rank
+
+
+def _opic_py(edges, rounds=8):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in set(edges):
+        out[s] = out.get(s, 0) + 1
+    cash = {v: 1.0 / n for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(rounds):
+        nxt = {v: 0.0 for v in nodes}
+        for s, t in sorted(set(edges)):
+            nxt[t] += cash[s] / out[s]
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = nxt
+    return {v: (cash[v], hist[v], hist[v] + cash[v]) for v in nodes}
+
+
+def test_opic_matches_reference_impl(spark):
+    edges_py = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("b", "d"),
+    ]
+    edges = spark.createDataFrame(edges_py, "src_host string, dst_host string")
+    got = {
+        r["node"]: (r["cash"], r["history"], r["importance"])
+        for r in linkgraph.opic(edges, rounds=8).collect()
+    }
+    want = _opic_py(edges_py, rounds=8)
+    assert set(got) == set(want)
+    for v in want:
+        for gi, wi in zip(got[v], want[v]):
+            assert abs(gi - wi) < 1e-9, (v, got[v], want[v])
+    # c has the most in-links: highest importance, like pagerank's ordering
+    assert max(got, key=lambda v: got[v][2]) == "c"
+    # history is the banked mass: sum of histories == rounds * initial mass
+    # minus what leaked through rounds at dangling nodes (none here except d->c covers all)
+
+
+def test_opic_exact_fold_bit_stable(spark):
+    edges_py = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    edges = spark.createDataFrame(edges_py, "src_host string, dst_host string")
+    a = {
+        r["node"]: (r["cash"], r["history"])
+        for r in linkgraph.opic(edges, rounds=6, exact_fold=True).collect()
+    }
+    b = {
+        r["node"]: (r["cash"], r["history"])
+        for r in linkgraph.opic(
+            edges.repartition(7), rounds=6, exact_fold=True
+        ).collect()
+    }
+    assert a == b  # bit-identical under different partitioning

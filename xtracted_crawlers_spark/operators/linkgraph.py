@@ -412,6 +412,85 @@ def trustrank(
     return out
 
 
+def opic(
+    edges: DataFrame,
+    rounds: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 4,
+    exact_fold: bool = False,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), batch-synchronous variant: the frontier-
+    prioritization scheme crawlers use when full PageRank iterations
+    over the whole graph are too expensive to run between rounds.
+
+    Every node starts with cash 1/N.  Each crawl round, every node
+    distributes its cash equally over its out-links and banks what it
+    held into its history: Hᵢ₊₁ = Hᵢ + Cᵢ, Cᵢ₊₁(v) = Σ_{u→v} Cᵢ(u)/deg(u).
+    ``importance = history + cash`` converges (up to normalization) to
+    the same ordering as PageRank-without-teleport, but each round is
+    ONE incremental join+aggregate over the current cash vector — the
+    algorithm piggybacks on the crawl loop instead of demanding its own
+    iteration budget.  Like :func:`pagerank`, dangling nodes leak their
+    cash (the simple variant; ordering-only use is unaffected) rather
+    than re-injecting it through a virtual node.
+
+    Returns (node, cash, history, importance) after ``rounds`` rounds.
+    exact_fold: deterministic left-fold contribution sums in src order
+    (bit-reproducible; mirrorable by the DuckDB oracle) — history
+    accumulation is a single ``+`` per round, already order-free.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e_deg = e.join(out_deg, "src").cache()
+    state = nodes.select("node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist"))
+    for i in range(rounds):
+        contrib_rows = (
+            e_deg.join(
+                state.select(F.col("node").alias("src"), "cash"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                F.col("src"),
+                (F.col("cash") / F.col("_deg")).alias("c"),
+            )
+        )
+        if exact_fold:
+            contribs = contrib_rows.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("_in")
+            )
+        else:
+            contribs = contrib_rows.groupBy("node").agg(F.sum("c").alias("_in"))
+        state = (
+            state.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_in"), F.lit(0.0)).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    out = state.select(
+        "node", "cash", F.col("hist").alias("history"),
+        (F.col("hist") + F.col("cash")).alias("importance"),
+    )
+    nodes.unpersist()
+    e_deg.unpersist()
+    return out
+
+
 def hits(
     edges: DataFrame,
     iters: int = 6,
