@@ -1694,6 +1694,48 @@ select a, b, n_common from p order by n_common desc, a, b limit 100
 """
 
 
+def q_link_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) at host level — mirror/
+    template detection: host pairs whose OUT-link target sets overlap.
+    The degree cap applies to target in-degree (a host linked from >40
+    of the 50 hosts is a commons, not a mirror signal), exercising the
+    transpose of the co-citation hub guard. Top-100 by (n_common desc,
+    a, b); (a, b) unique after the groupBy."""
+    from xtracted_crawlers_spark.operators import cocitation
+
+    he = linkgraph_host_edges(spark, sf_dir)
+    e = he.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return (
+        cocitation.bibliographic_coupling(e, max_degree=40, min_common=2)
+        .orderBy(F.col("n_common").desc(), "a", "b")
+        .limit(100)
+    )
+
+
+def linkgraph_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xtracted_crawlers_spark.operators import linkgraph
+
+    return linkgraph.host_edges(_edges(spark, sf_dir))
+
+
+SQL_LINK_COUPLING = f"""
+with edges as (select {sql_url_from_key('l_orderkey')} as src,
+                      {sql_url_from_key('l_orderkey * 7 + l_linenumber')} as dst
+               from lineitem),
+he as (select lower(regexp_extract(src, {NETLOC_RE_SQL}, 1)) as src_host,
+              lower(regexp_extract(dst, {NETLOC_RE_SQL}, 1)) as dst_host
+       from edges),
+e0 as (select distinct src_host as src, dst_host as dst from he),
+indeg as (select dst, count(*) as d from e0 group by dst),
+kept as (select e0.src, e0.dst from e0 join indeg using (dst) where d <= 40),
+p as (select a.src as a, b.src as b, count(*) as n_common
+      from kept a join kept b on a.dst = b.dst and a.src < b.src
+      group by 1, 2
+      having count(*) >= 2)
+select a, b, n_common from p order by n_common desc, a, b limit 100
+"""
+
+
 def q_corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth curve over cumulative id-range
     prefixes of the documents corpus: (bucket, cutoff_id, n_docs,
@@ -5029,6 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "text_winnow": q_text_winnow,
         "link_opic": q_link_opic,
+        "link_coupling": q_link_coupling,
         "crawl_expand_variants": q_crawl_expand_variants,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "text_gopher_words": q_text_gopher_words,
@@ -5172,6 +5215,7 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": SQL_URL_TEMPLATES,
         "text_winnow": SQL_TEXT_WINNOW,
         "link_opic": SQL_LINK_OPIC,
+        "link_coupling": SQL_LINK_COUPLING,
         "crawl_fetch_join": SQL_CRAWL_FETCH_JOIN,
         "crawl_robots_gate": SQL_CRAWL_ROBOTS_GATE,
         "crawl_robots_wildcards": SQL_CRAWL_ROBOTS_WILDCARDS,
