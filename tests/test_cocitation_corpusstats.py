@@ -153,3 +153,23 @@ def test_url_template_counts_match_bruteforce(spark):
     assert got[("b.test", "/cal/{n}/{n}/{n}")] == (6, 6)
     assert got[("b.test", "/")] == (1, 1)
     assert not any(h == "" for h, _ in got)
+
+
+def test_corpus_report_composition(spark):
+    from collections import Counter
+
+    texts = [(i, "new york city data " + ("boilerplate footer text all rights reserved " if i % 2 else "") + f"unique{i} content body") for i in range(1, 41)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rep = corpusstats.corpus_report(df, n_buckets=4, top_collocations=5)
+    toks = [w for _, t in texts for w in re.findall(r"[a-z0-9]+", t.lower())]
+    assert rep["docs"] == 40
+    assert rep["tokens"] == len(toks)
+    assert rep["vocab"] == len(set(toks))
+    assert len(rep["heaps"]) == 4 and rep["heaps"][-1]["n_docs"] == 40
+    assert len(rep["collocations"]) <= 5
+    assert {"w1", "w2", "n_pair", "lift"} <= set(rep["collocations"][0])
+    # the repeated boilerplate run (>= w+k-1 tokens, 20 docs) must show
+    # up as heavily shared winnowing fingerprints
+    assert rep["winnow"]["max_share"] == 20
+    assert rep["winnow"]["shared_by_2plus_docs"] >= 1
+    assert rep["winnow"]["fingerprints"] > 0

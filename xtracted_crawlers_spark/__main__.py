@@ -197,6 +197,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     x.add_argument("--master", default=None)
 
+    cr = sub.add_parser(
+        "corpus-report", help="corpus quality report: Heaps vocabulary curve, "
+        "top PMI collocations, winnowing fingerprint census (near-dup pressure) "
+        "— over an exported/external corpus parquet or the crawl warehouse"
+    )
+    cr.add_argument("--corpus", help="parquet with (doc_id, text) columns")
+    cr.add_argument("--warehouse", help="or: crawl warehouse (completed rows' text; "
+                    "doc_id = job_urls_seq, i.e. crawl order)")
+    cr.add_argument("--id-col", default="doc_id")
+    cr.add_argument("--text-col", default="text")
+    cr.add_argument("--buckets", type=int, default=10)
+    cr.add_argument("--master", default=None)
+
     u = sub.add_parser(
         "urls", help="URL-level frontier state (the reference's list_crawler_urls/"
         "get_crawler_url service queries, E1/E2) — key filters push down to the scan"
@@ -335,6 +348,27 @@ def main(argv: list[str] | None = None) -> int:
             split_fracs=split_fracs,
         )
         print(json.dumps({"out": args.out, "rows": n}))
+        return 0
+
+    if args.cmd == "corpus-report":
+        from pyspark.sql import functions as F
+
+        from .operators.corpusstats import corpus_report
+
+        if bool(args.corpus) == bool(args.warehouse):
+            raise SystemExit("corpus-report wants exactly one of --corpus / --warehouse")
+        if args.corpus:
+            docs = spark.read.parquet(args.corpus).select(
+                F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+            )
+        else:
+            from .crawl import COMPLETE, load_frontier
+
+            fr = load_frontier(spark, ParquetSnapshotCatalog(args.warehouse))
+            docs = fr.filter(
+                (F.col("status") == COMPLETE) & F.col("text").isNotNull()
+            ).select(F.col("job_urls_seq").alias("doc_id"), "text")
+        print(json.dumps(corpus_report(docs, n_buckets=args.buckets)))
         return 0
 
     if args.cmd == "urls":

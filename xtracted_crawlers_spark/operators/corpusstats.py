@@ -40,6 +40,71 @@ from pyspark.sql import functions as F
 from xtracted_crawlers_spark.operators.collocations import words_array
 
 
+def corpus_report(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    top_collocations: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """One-shot corpus quality report (driver-side dict of small
+    aggregates — every collect here is a bounded handful of rows):
+
+    - ``heaps``: the vocabulary growth curve (n_buckets rows) plus the
+      final totals (docs / tokens / vocab);
+    - ``collocations``: top PMI word pairs — keyword-spam corpora show
+      flat lift, natural language shows strong collocations;
+    - ``winnow``: fingerprint census — total selected fingerprints,
+      how many are shared by >=2 docs, and the max share count
+      (near-duplicate / boilerplate pressure).
+
+    Composes :func:`heaps_curve`, collocations.pmi_collocations and
+    operators.winnow; each underlying job is the scale-shaped plan its
+    own module documents.
+    """
+    from xtracted_crawlers_spark.operators import collocations, winnow
+
+    curve = [
+        {
+            "bucket": r["bucket"],
+            "cutoff_id": r["cutoff_id"],
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "vocab": r["vocab"],
+        }
+        for r in heaps_curve(docs, n_buckets=n_buckets, id_col=id_col, text_col=text_col)
+        .orderBy("bucket")
+        .collect()
+    ]
+    total = curve[-1] if curve else {"n_docs": 0, "n_tokens": 0, "vocab": 0}
+    colls = [
+        {"w1": r["w1"], "w2": r["w2"], "n_pair": r["n_pair"], "lift": r["lift"]}
+        for r in collocations.pmi_collocations(docs, text_col=text_col, min_count=5)
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top_collocations)
+        .collect()
+    ]
+    fps = winnow.winnow_fingerprints(docs, id_col=id_col, text_col=text_col)
+    census = winnow.shared_fingerprints(fps)
+    fp_stats = census.agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("max_share"),
+    ).collect()[0]
+    return {
+        "docs": total["n_docs"],
+        "tokens": total["n_tokens"],
+        "vocab": total["vocab"],
+        "heaps": curve,
+        "collocations": colls,
+        "winnow": {
+            "fingerprints": fp_stats["n_fp"],
+            "shared_by_2plus_docs": int(fp_stats["n_shared"] or 0),
+            "max_share": fp_stats["max_share"],
+        },
+    }
+
+
 def heaps_curve(
     docs: DataFrame,
     n_buckets: int = 10,
