@@ -5116,8 +5116,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_urls_per_host": q_distinct_urls_per_host,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        # ---------------- position 50 boundary is above -----------------
+        # (re-verify with list(queries())[:50] after ANY insertion —
+        # enforced mechanically by tests/test_driver_window.py. The
+        # wave-2 insertions moved the boundary here: the first 50 are
+        # exactly the 32 round-5 queries + the 18 never-driver-checked
+        # round-4 tail, so the window is FULL — adding a query means
+        # evicting one of the 18, which the test will reject.)
         # -- crawl family (SURVEY.md §2 core; robots queries changed in
-        #    round 5: RFC 9309 %-decoding) ------------------------------
+        #    round 5: RFC 9309 %-decoding — all carry CORRECTNESS_r04
+        #    green rows) ------------------------------------------------
         "crawl_robots_gate": q_crawl_robots_gate,
         "crawl_robots_wildcards": q_crawl_robots_wildcards,
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -5126,11 +5134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seq_assign": q_crawl_seq_assign,
         "crawl_fetch_join": q_crawl_fetch_join,
         "crawl_sitemap_seeds": q_crawl_sitemap_seeds,
-        # ---------------- position 50 boundary is above -----------------
-        # (re-verify with list(queries())[:50] after ANY insertion: the
-        # 24 round-5 queries pushed crawl_priority_schedule..dedup_ngram_jaccard
-        # into the pool — all carry CORRECTNESS_r04 green rows, enforced
-        # by tests/test_driver_window.py)
         "crawl_priority_schedule": q_crawl_priority_schedule,
         "crawl_token_bucket": q_crawl_token_bucket,
         "crawl_fair_schedule": q_crawl_fair_schedule,
