@@ -61,3 +61,42 @@ def test_winnow_density(spark):
     n_grams = 400 - 4
     assert n_fp < 0.5 * n_grams
     assert n_fp > 0.1 * n_grams
+
+
+def test_overlap_pairs_bruteforce_and_cap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "all rights reserved contact us terms of service privacy policy"
+    texts = [
+        (1, "one two three " + shared + " x1 y1 z1 " + boiler),
+        (2, "four five six " + shared + " x2 y2 z2 " + boiler),
+        (3, "seven eight nine totally different content here now " + boiler),
+        (4, "unrelated document with its very own words only here"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = winnow.winnow_fingerprints(df, k=5, w=4)
+
+    # brute-force twin (no cap)
+    per_doc = {i: set(_py_winnow(t, 5, 4)) for i, t in texts}
+    import itertools
+    from collections import Counter
+
+    want = {}
+    for a, b in itertools.combinations(sorted(per_doc), 2):
+        n = len(per_doc[a] & per_doc[b])
+        if n >= 2:
+            want[(a, b)] = n
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow.overlap_pairs(fps, min_shared=2, fp_cap=100).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # the planted 10-token overlap
+    # fp_cap=2 drops fingerprints shared by 3+ docs (the boilerplate),
+    # so pairs that overlap ONLY through boilerplate disappear while
+    # the planted 1-2 overlap (unique to that pair) survives
+    capped = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow.overlap_pairs(fps, min_shared=2, fp_cap=2).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a != 3 and b != 3 for a, b in capped)  # 3 only shared boilerplate

@@ -85,6 +85,43 @@ def winnow_fingerprints(
     return docs.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp"))
 
 
+def overlap_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    fp_cap: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) for doc_a < doc_b — document pairs
+    sharing at least ``min_shared`` selected fingerprints: the MOSS
+    match step, i.e. the near-dup / partial-overlap candidate
+    generator built on :func:`winnow_fingerprints` output.
+
+    Skew guard: a fingerprint selected by d documents emits C(d, 2)
+    pairs, and boilerplate (headers, license blocks) is selected by
+    essentially every page that carries it — so fingerprints shared by
+    more than ``fp_cap`` documents are dropped BEFORE the self-join
+    (same O(d²) containment as the co-citation hub cap; a fingerprint
+    that common is boilerplate, not an overlap signal).  Join volume is
+    then ≤ |kept fps| × C(fp_cap, 2), and pair counting partially
+    aggregates map-side before its shuffle.
+    """
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(F.col("_d") <= fp_cap)
+        .select("fp")
+    )
+    kept = fps.join(hot, "fp")
+    a = kept.select("fp", F.col("doc_id").alias("doc_a"))
+    b = kept.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def shared_fingerprints(fps: DataFrame) -> DataFrame:
     """(fp, n_docs) — how many documents selected each fingerprint;
     n_docs >= 2 marks verbatim k-token overlap between documents.
