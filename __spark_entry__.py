@@ -1646,8 +1646,8 @@ big as (select ws[t.i] as w1, ws[t.i + 1] as w2
         from w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) as t(i)),
 bc as (select w1, w2, count(*) as n_pair from big group by w1, w2),
 s as (select w1, w2, n_pair, u1.n_w as n_w1, u2.n_w as n_w2,
-        round(cast(n_tokens * n_pair as double)
-              / cast(u1.n_w * u2.n_w as double), 4) as lift
+        round((cast(n_tokens as double) * cast(n_pair as double))
+              / (cast(u1.n_w as double) * cast(u2.n_w as double)), 4) as lift
       from bc
       join uc u1 on bc.w1 = u1.w
       join uc u2 on bc.w2 = u2.w

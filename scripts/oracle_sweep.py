@@ -35,7 +35,14 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            sys.exit("--only wants a comma-separated query list")
         only = set(argv[i + 1].split(","))
+        unknown = only - set(em.oracle_sql())
+        if unknown:
+            # a misspelled name must not let the sweep exit green
+            # having verified nothing
+            sys.exit(f"--only names not in oracle_sql(): {sorted(unknown)}")
         argv = argv[:i] + argv[i + 2 :]
     sfs = argv or ["sf0.01"]
     spark = get_spark("oracle-sweep", master="local[16]", shuffle_partitions=16)

@@ -173,3 +173,22 @@ def test_corpus_report_composition(spark):
     assert rep["winnow"]["max_share"] == 20
     assert rep["winnow"]["shared_by_2plus_docs"] >= 1
     assert rep["winnow"]["fingerprints"] > 0
+
+
+def test_heaps_single_doc_id_zero(spark):
+    """max(doc_id) == 0 must not divide by zero (ANSI mode aborts);
+    the lone doc lands in bucket 1 and every cumulative bucket."""
+    df = spark.createDataFrame([(0, "only document words")], "doc_id long, text string")
+    rows = corpusstats.heaps_curve(df, n_buckets=3).orderBy("bucket").collect()
+    assert [(r.bucket, r.cutoff_id, r.n_docs, r.n_tokens, r.vocab) for r in rows] == [
+        (1, 0, 1, 3, 3), (2, 0, 1, 3, 3), (3, 0, 1, 3, 3),
+    ]
+
+
+def test_corpus_report_top_collocations_not_capped_at_100(spark):
+    """top_collocations > 100 must not be silently truncated by the
+    inner query's default top_k."""
+    texts = [(i, " ".join(f"w{j} w{j}" for j in range(60))) for i in range(1, 11)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rep = corpusstats.corpus_report(df, n_buckets=2, top_collocations=110)
+    assert len(rep["collocations"]) > 100

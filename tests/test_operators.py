@@ -1276,3 +1276,17 @@ def test_pmi_collocations_topk_boundary_deterministic(spark):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 3
+
+
+def test_pmi_collocations_tokenless_docs_do_not_crash(spark):
+    """Empty/punctuation-only/non-Latin docs are routine in a web
+    corpus; the bigram zip must not evaluate slice with length -1."""
+    from xtracted_crawlers_spark.operators import collocations
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "!!! ??? ..."), (3, "один два"), (4, "real words here real words here")],
+        "doc_id long, text string",
+    )
+    rows = collocations.pmi_collocations(docs, min_count=2, top_k=10).collect()
+    # (here, real) occurs once — below min_count
+    assert {(r.w1, r.w2) for r in rows} == {("real", "words"), ("words", "here")}

@@ -58,9 +58,13 @@ def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     zero-shuffle zip of the word array with its own tail; the groupBy
     is bigram-vocabulary-sized."""
     ws = words_array(F.col(text_col))
+    # greatest(len-1, 0): slice raises on a negative length, and a web
+    # corpus always contains token-less documents (empty pages,
+    # punctuation-only, non-Latin scripts).
+    tail_len = F.greatest(F.size(ws) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(ws, 1, F.size(ws) - 1),
-        F.slice(ws, 2, F.size(ws) - 1),
+        F.slice(ws, 1, tail_len),
+        F.slice(ws, 2, tail_len),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return (
@@ -98,9 +102,14 @@ def pmi_collocations(
             "n_pair",
             "n_w1",
             "n_w2",
+            # cast each factor to double BEFORE multiplying: int64
+            # products overflow near 1 TB of tokens (ANSI mode aborts
+            # the job); double mults are exactly rounded, stay exact
+            # below 2^53, and the DuckDB twin mirrors the same
+            # association so the round(,4) values still match bitwise.
             F.round(
-                (F.col("n_tokens") * F.col("n_pair")).cast("double")
-                / (F.col("n_w1") * F.col("n_w2")).cast("double"),
+                (F.col("n_tokens").cast("double") * F.col("n_pair").cast("double"))
+                / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double")),
                 4,
             ).alias("lift"),
         )

@@ -79,10 +79,9 @@ def corpus_report(
     total = curve[-1] if curve else {"n_docs": 0, "n_tokens": 0, "vocab": 0}
     colls = [
         {"w1": r["w1"], "w2": r["w2"], "n_pair": r["n_pair"], "lift": r["lift"]}
-        for r in collocations.pmi_collocations(docs, text_col=text_col, min_count=5)
-        .orderBy(F.col("lift").desc(), "w1", "w2")
-        .limit(top_collocations)
-        .collect()
+        for r in collocations.pmi_collocations(
+            docs, text_col=text_col, min_count=5, top_k=top_collocations
+        ).collect()
     ]
     fps = winnow.winnow_fingerprints(docs, id_col=id_col, text_col=text_col)
     census = winnow.shared_fingerprints(fps)
@@ -126,9 +125,16 @@ def heaps_curve(
     # Which PREFIX BUCKET a doc id first falls into: smallest k with
     # id <= floor(k*max/n)  ⇔  k = ceil(id*n/max) in exact int math.
     def bucket_of(idc):
+        # greatest(_max_id, 1): a single-document corpus with doc_id 0
+        # has max_id 0, and ANSI mode turns the division into a job
+        # abort. With max_id 0 every id is 0, so ceil(0/1)=0 → bucket 1
+        # — the same bucket the limit of the guarded formula gives.
         return F.greatest(
             F.lit(1),
-            F.ceil(idc.cast("long") * F.lit(n_buckets) / F.col("_max_id")).cast("int"),
+            F.ceil(
+                idc.cast("long") * F.lit(n_buckets)
+                / F.greatest(F.col("_max_id"), F.lit(1))
+            ).cast("int"),
         )
 
     per_doc = (

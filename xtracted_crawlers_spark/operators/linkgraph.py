@@ -288,10 +288,12 @@ def pagerank(
         .distinct()
         .cache()
     )
-    n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     e_deg = e.join(out_deg, "src").cache()
     if tele is None:
+        # n (a count action) is only needed by the uniform teleport
+        # terms — don't pay the job when a tele distribution is given.
+        n = nodes.count()
         base = None
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     else:
