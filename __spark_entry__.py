@@ -31,8 +31,55 @@ from xtracted_crawlers_spark.operators import dedup, similarity, textops, urlgen
 from xtracted_crawlers_spark.operators.urlgen import sql_url_from_key  # noqa: E402
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _est_scan_splits(path: str) -> int:
+    """Upper bound on the scan tasks Spark can get out of a parquet
+    directory: one task per maxPartitionBytes-sized byte range, but a
+    row group is never split, so a single-file single-row-group table
+    (exactly how the driver's sf tables arrive) is ONE task no matter
+    the core count."""
+    import glob
+
+    sizes = [
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "*.parquet")) or [path]
+        if os.path.isfile(p)
+    ]
+    max_split = 128 << 20  # spark.sql.files.maxPartitionBytes default
+    return sum(max(1, -(-s // max_split)) for s in sizes) if sizes else 1
+
+
+_SPLIT_CACHE: dict[str, int] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+    """Read one shared table, spread across the cluster when the file
+    layout cannot feed it (guide §2.5: one unsplittable input file →
+    repartition immediately after the read). The driver's tables are one
+    file with one row group, so every per-row expression above a bare
+    scan — md5 URL synthesis, regex canonicalization, text scoring —
+    would run in ONE task regardless of core count (measured: the
+    link_host_graph projection alone is ~6 s single-threaded at sf0.1).
+    The round-robin exchange moves only the columns the query reads
+    (Catalyst pushes projections and filters below a Repartition), and
+    it is skipped entirely when the layout already yields at least the
+    session's parallelism, so at real scale (many files / many row
+    groups) this is a no-op.
+
+    spread=False opts a read out, for the cases where the exchange is
+    pure overhead at ANY scale (measured r6): the query's first
+    operation is itself a shuffle on raw columns (window/groupBy — the
+    shuffle provides the parallelism and the scan-side work is a cheap
+    decode), or the side is about to be broadcast whole."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    if path not in _SPLIT_CACHE:
+        _SPLIT_CACHE[path] = _est_scan_splits(path)
+    par = spark.sparkContext.defaultParallelism
+    if _SPLIT_CACHE[path] < par:
+        df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +166,10 @@ select host, url_id, rk from r where rk <= 3
 def q_crawl_seq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    # spread=False: the first (and only) operation is the window's own
+    # shuffle on raw columns — an input-spread exchange would just move
+    # the same rows twice (measured r6: 0.37 s -> 1.09 s with spread)
+    ev = _t(spark, sf_dir, "events", spread=False)
     w = Window.partitionBy("user_id").orderBy("event_id")
     return ev.select(
         "user_id", "event_id", F.row_number().over(w).cast("long").alias("job_urls_seq")
@@ -469,7 +519,12 @@ def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the frontier side scales with the dataset — the
     # engine's own fetch join gates its hint on a counted size
     # (crawl.py fetch_join); AQE broadcasts at runtime iff actually small
-    frontier = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey").select("url")
+    # orders side: spread=False — it is broadcast whole into the join
+    # (counted-small side), so an input-spread exchange before the
+    # broadcast build only adds a stage barrier (measured r6)
+    frontier = urlgen.urls_from(
+        _t(spark, sf_dir, "orders", spread=False), "o_orderkey"
+    ).select("url")
     pages = urlgen.urls_from(_t(spark, sf_dir, "lineitem"), "l_orderkey").select("url").distinct()
     hits = frontier.join(pages, "url")
     return (
@@ -2600,7 +2655,7 @@ def q_pipeline_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = textops.gopher_word_keep(t)
     kr = textops.gopher_keep(t)
     return (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=False)
         .select(
             "source",
             kw.alias("_kw"),
@@ -2712,7 +2767,7 @@ from d left join tot using (doc_id) left join agg using (doc_id)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents", spread=False))
 
 
 SQL_DEDUP_EXACT = """
@@ -2794,7 +2849,7 @@ _N_PERMS = dedup.N_PERMS
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.25)
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents", spread=False), n=3, threshold=0.25)
 
 
 def _sql_minhash() -> str:
@@ -2825,7 +2880,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text), odd doc_ids are the new batch. Exercises
     dedup.incremental_minhash_pairs end-to-end: batch-vs-corpus band
     join plus batch-internal self-join, tagged by ``vs``."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=False)
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     corpus_sigs = dedup.minhash_signatures(corpus, n=3)
@@ -2865,7 +2920,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical-doc selection every dedup pipeline ends with. Fixed
     iteration count replayed exactly by the oracle's unrolled CTE chain
     (integer min is engine-exact, no float drift)."""
-    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.25)
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents", spread=False), n=3, threshold=0.25)
     return dedup.connected_components(pairs, iters=_CC_ITERS)
 
 
@@ -2993,7 +3048,7 @@ from isl2 group by doc_id, island
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+    return dedup.simhash16(_t(spark, sf_dir, "documents", spread=False))
 
 
 def _sql_simhash() -> str:
@@ -4159,7 +4214,7 @@ SQL_PIPELINE_CORPUS_NEARDUP = _sql_pipeline_corpus_neardup()
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
@@ -4179,7 +4234,7 @@ select query_id, neighbor_id, cast(rank as bigint) as rank, cosine from r where 
 
 
 def q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return similarity.near_dup_pairs(_t(spark, sf_dir, "embeddings", spread=False), threshold=0.3)
 
 
 SQL_SIM_NEAR_DUP = """
@@ -4198,7 +4253,7 @@ select doc_a, doc_b, cosine from s where cosine >= 0.3
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=False)
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -4224,9 +4279,9 @@ group by l_returnflag, l_linestatus
 
 def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join anchor: customer ⋈ orders ⋈ lineitem revenue by order."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer", spread=False).filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders", spread=False)
+    li = _t(spark, sf_dir, "lineitem", spread=False)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         # customer scales with the dataset (a filtered dim, not a bounded
@@ -4292,7 +4347,7 @@ from c group by rollup(host, url_type)
 def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: event users that are also customer keys (intersect)
     vs event-only users (except)."""
-    ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("k"))
+    ev = _t(spark, sf_dir, "events", spread=False).select(F.col("user_id").cast("long").alias("k"))
     cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long").alias("k"))
     both = ev.intersect(cu).withColumn("which", F.lit("both"))
     only = ev.distinct().exceptAll(cu.distinct()).withColumn("which", F.lit("events_only"))
@@ -4326,7 +4381,7 @@ select host, count(distinct url_id) as n_distinct from c group by 1
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xtracted_crawlers_spark.operators import sessions
 
-    return sessions.sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
+    return sessions.sessionize(_t(spark, sf_dir, "events", spread=False), gap_s=1800)
 
 
 from xtracted_crawlers_spark.operators.sessions import (  # noqa: E402
@@ -4337,7 +4392,7 @@ SQL_EVENTS_SESSIONIZE = SQL_SESSIONIZE_TEMPLATE.format(gap=1800)
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=False)
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(
@@ -4370,7 +4425,7 @@ _LSH_TABLES = 3
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return similarity.ann_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 20),
         k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, dim=_ANN_DIM,
@@ -4378,7 +4433,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return similarity.ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=2, dim=_ANN_DIM
     )
@@ -4464,7 +4519,7 @@ select query_id, neighbor_id, cast(rank as bigint) as rank, cosine from r where 
 def q_sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup path (LSH candidates + exact cosine
     filter) — oracle-checked with the same hyperplane literals."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return similarity.near_dup_pairs_lsh(
         emb, threshold=0.3, n_planes=4, n_tables=6, dim=_ANN_DIM
     )
@@ -4516,7 +4571,7 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is bit-identical to DuckDB's list_dot_product, proven by the
     sim_ann_* oracles."""
     return similarity.semdedup(
-        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "embeddings", spread=False),
         threshold=_SEMDEDUP_THRESHOLD,
         n_clusters=8,
         dim=_ANN_DIM,
@@ -4867,7 +4922,7 @@ def q_corpus_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgeting consume."""
     from xtracted_crawlers_spark.operators import bpe
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     words = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )

@@ -108,9 +108,12 @@ class CrawlConfig:
     # is ~400 writers, clamped to the cluster parallelism). repartition
     # (a shuffle of the bounded delta), never coalesce: coalesce would
     # collapse the extraction stage itself to the target parallelism.
-    # 25k payload-carrying rows ≈ a healthy parquet file; measured at an
-    # 81k-row round: 1 file = 1.53 s write, 4 files = 0.74 s.
-    delta_rows_per_file: int = 25_000
+    # Measured at an 81k-row round: 1 file = 1.53 s write, 4 files =
+    # 0.74 s; r6 re-measured at a 63k-row round: 8k rows/file (8
+    # writers) cut the round ~0.4 s vs 25k (3 writers). Still ≥ one
+    # healthy parquet file per writer at sandbox scale; at cluster scale
+    # the defaultParallelism clamp, not this knob, bounds file size.
+    delta_rows_per_file: int = 8_000
     # broadcast the round selection into the fetch join only when its
     # counted size is under this bound. The default config leaves
     # default_budget/global_budget None (budget ~2^62), so the selection
@@ -205,15 +208,24 @@ def load_frontier(spark: SparkSession, catalog: ParquetSnapshotCatalog) -> DataF
     # never reshuffles the 10^10-row base. (The old plan windowed
     # base ∪ deltas, a full-frontier shuffle every round.)
     base = parts[0].drop("_snap")
-    deltas = parts[1]
-    for p in parts[2:]:
-        deltas = deltas.unionByName(p)
-    w = Window.partitionBy(*KEY).orderBy(F.desc("_snap"))
-    latest = (
-        deltas.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_snap")
-    )
+    if len(parts) == 2:
+        # single-delta fast path (r6): a delta commit is one round's
+        # touched rows, and a round touches each key at most once (the
+        # done/fail/miss branches partition the selection; discovery
+        # keys are anti-joined fresh), so the newest-row window is a
+        # no-op with exactly one delta — skip its shuffle entirely.
+        # Multi-delta reads still need it (later rounds re-touch keys).
+        latest = parts[1].drop("_snap")
+    else:
+        deltas = parts[1]
+        for p in parts[2:]:
+            deltas = deltas.unionByName(p)
+        w = Window.partitionBy(*KEY).orderBy(F.desc("_snap"))
+        latest = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_snap")
+        )
     untouched = base.join(latest.select(*KEY), KEY, "left_anti")
     return untouched.unionByName(latest)
 
@@ -294,6 +306,21 @@ def bootstrap(
             QT.JOBS_TABLE,
             round_id=0,
             metrics={"event": "bootstrap_ingest", "new_urls": n_new},
+        )
+    elif n_new > 0 and cfg is not None and cfg.track_jobs:
+        # seed the jobs table at bootstrap (r6): with no jobs snapshot,
+        # round 1 falls back to the full job_status(load_frontier) derive
+        # — an O(frontier) scan whose cost recurs at every fresh crawl
+        # (measured ~2 s at a 75k-seed bench round; at a 10^10-row
+        # frontier it is the single most expensive bookkeeping action).
+        # Deriving from the just-ingested rows here is O(new_rows) on the
+        # already-cached ingest frame, and every later round then takes
+        # the incremental delta path.
+        catalog.commit(
+            QT.job_status(full).coalesce(1),
+            QT.JOBS_TABLE,
+            round_id=0,
+            metrics={"event": "bootstrap_jobs_seed", "new_urls": n_new},
         )
     # trap-state fold AFTER the frontier commit: the opposite order would
     # double-count on a crash-resume (the re-ingest reads the seeds as

@@ -18,13 +18,25 @@ QUERY_MOD = 3
 
 def url_from_key(key: Column) -> Column:
     k = key.cast("long")
-    return F.concat(
+    url = F.concat(
         F.lit("https://shop"),
         F.lpad((k % HOST_MOD).cast("string"), 5, "0"),
         F.lit(".example.test/dp/B0"),
         F.upper(F.substring(F.md5(k.cast("string")), 1, 8)),
         F.when(k % QUERY_MOD == 0, F.lit("?ref=x")).otherwise(F.lit("")),
     )
+    # Evaluation barrier (guide §4.4, the asNondeterministic trick for
+    # JVM exprs): the constant-true nondeterministic guard leaves the
+    # VALUE untouched but stops Catalyst from re-deriving the synthesis
+    # inside filters it pushes below the input-spread exchange — without
+    # it, a downstream filter on host/url_id is rewritten in terms of
+    # the raw key and lands in the (single-row-group ⇒ ~1-task) scan
+    # stage, where it re-runs md5+regex over every row 2-4× on one core
+    # (measured: link_host_graph spent 4-8 s there; with the barrier the
+    # synthesis runs once, in the spread stage). spark_partition_id —
+    # not rand, whose [0,1) bounds Spark 4's optimizer constant-folds —
+    # is nondeterministic-by-contract yet value-free here.
+    return F.when(F.spark_partition_id() >= F.lit(0), url)
 
 
 def sql_url_from_key(key_expr: str) -> str:

@@ -59,6 +59,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing targets max(bytes/parallelism, minPartitionSize)
+        # (parallelismFirst, the default). The stock 1 MiB floor is sized
+        # for shuffle-bound stages; this engine's post-shuffle stages are
+        # often COMPUTE-dense (regex canonicalization, text quality
+        # scoring, URL synthesis) where a few-MB shuffle still deserves
+        # every core, so the local default floor is lower. Production
+        # tuning for network-bound work overrides via env/--conf
+        # (guide §2.2: bytes are the right coalescing proxy only when the
+        # stage cost is I/O-shaped).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
@@ -69,4 +82,45 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_WARM_WORKERS", "1") != "0":
+        _warm_python_workers(spark)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Pre-fork the Python UDF worker pool once per session.
+
+    The first Arrow-UDF job of a session otherwise pays one interpreter
+    fork + the full import graph (pandas/pyarrow/numpy + this package)
+    PER CONCURRENT TASK — measured ~3 s × 32 workers ≈ 110 CPU-s hidden
+    inside whichever job touches Python first (guide §4.5: heavyweight
+    init belongs in setup, not on the hot path). A count()-shaped warmup
+    does NOT work: Catalyst prunes a deterministic UDF whose output the
+    action never reads, so no worker is ever forked. This warm runs the
+    UDF through the noop sink (computes every column, guide §1.4) with
+    enough simultaneous tasks to fork one worker per core, and each
+    worker imports the extraction kernel's module graph so later
+    extraction tasks start hot."""
+    if getattr(spark, "_xcs_workers_warm", False):
+        return
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _warm_fn(s):
+        import xtracted_crawlers_spark.extract  # noqa: F401  (module-graph warm)
+
+        return s
+
+    # annotations set explicitly: `from __future__ import annotations`
+    # above would stringify inline hints out of pandas_udf's reach
+    _warm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _warm = F.pandas_udf(_warm_fn, "long")
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(4 * par, numPartitions=2 * par)
+        .select(_warm("id").alias("w"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    spark._xcs_workers_warm = True
