@@ -171,6 +171,44 @@ def mode_crawl() -> None:
                       "phases": phases}))
 
 
+def mode_crawlfull() -> None:
+    """bench.py's crawl_rounds entry, verbatim timing shape (run_crawl,
+    fresh warehouse per rep) — the async-bookkeeping path."""
+    import shutil
+
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, run_crawl
+    from xtracted_crawlers_spark.extract import with_extraction
+
+    spark = _spark()
+    import bench as benchmod
+
+    sf = benchmod._sf_from_dir(SF_DIR)
+    pages_path = benchmod._ensure_pages(spark, sf)
+    warm = spark.read.parquet(pages_path).limit(4 * CPUS).repartition(2 * CPUS)
+    _ = with_extraction(warm).count()
+    pages = spark.read.parquet(pages_path).repartition(CPUS).cache()
+    n_pages = pages.count()
+    n_seeds = max(500, n_pages // 4)
+    seeds = fixtures.gen_seeds(spark, n_pages, n_seeds, n_hosts=200).cache()
+    seeds.count()
+    reps = []
+    for rep in range(max(REPS, 2)):
+        wh = f"/tmp/xcs_bench_cache/full_wh_{rep}"
+        shutil.rmtree(wh, ignore_errors=True)
+        catalog = ParquetSnapshotCatalog(wh)
+        t0 = time.time()
+        ms = run_crawl(spark, catalog, pages, seeds,
+                       cfg=CrawlConfig(max_rounds=2, global_budget=n_seeds))
+        reps.append(round(time.time() - t0, 3))
+    crawled = sum(m.get("completed", 0) + m.get("extract_failed", 0)
+                  + m.get("fetch_missed", 0) for m in ms)
+    print(json.dumps({"mode": "crawlfull", "reps": reps,
+                      "median2": round(median(reps[:2]), 3),
+                      "crawled": crawled}))
+
+
 def mode_crawlphases() -> None:
     """mode_crawl with catalog.commit + selection count timed via
     monkeypatch (no change to the frozen crawl code)."""
@@ -243,6 +281,8 @@ if __name__ == "__main__":
         mode_extract()
     elif mode == "crawl":
         mode_crawl()
+    elif mode == "crawlfull":
+        mode_crawlfull()
     elif mode == "crawlphases":
         mode_crawlphases()
     else:

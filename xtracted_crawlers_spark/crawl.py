@@ -27,8 +27,9 @@ Physical shape per round (local[N] now, 1000 executors later):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field, replace
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -94,6 +95,13 @@ class CrawlConfig:
     trap_quarantine: bool = False
     salt_n: int = 16
     extract_partitions: Optional[int] = None
+    # extraction-input spread policy: 'auto' trusts the fetch join's
+    # output partitioning (byte-even scan splits under broadcast,
+    # url-hash under shuffle — see run_round) and skips the payload
+    # shuffle; 'always' forces the salted-host exchange, for pages
+    # stores CLUSTERED by host where a selective round's hits land in
+    # few splits. extract_partitions (an explicit count) always salts.
+    salt_extraction: str = "auto"
     # frontier storage: 'delta' commits only the rows a round touched
     # (merge-on-read, Iceberg MoR semantics on the parquet fallback) with a
     # full compaction every compact_every rounds; 'full' rewrites the whole
@@ -168,6 +176,47 @@ _SEEN_TABLES = {"bloom": "seen_bloom", "cuckoo": "seen_cuckoo"}
 TRAP_STATE_TABLE = "trap_state"
 
 
+class PendingCommit:
+    """At most ONE in-flight bookkeeping commit, overlapped with the next
+    round's frontier scan + selection (guide §2.6: overlap independent
+    jobs — Spark happily runs concurrent jobs; actions are sequential
+    only because the driver calls them sequentially). The jobs/quota
+    bookkeeping write of round N is independent of round N+1's frontier
+    READ, so it rides a driver thread while the next selection scans.
+
+    Crash-ordering invariant preserved: run_round calls wait() BEFORE
+    its frontier commit, so the bookkeeping tables never lag the visible
+    frontier by more than the round in flight — exactly the sequential
+    code's crash window. A failed async commit re-raises at the next
+    barrier (wait/submit), never silently."""
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def submit(self, fn: Callable[[], None]) -> None:
+        self.wait()
+
+        def _run() -> None:
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised at the barrier
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=_run, daemon=True, name="xcs-bookkeeping-commit"
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def seen_filter_kind(cfg: CrawlConfig) -> str:
     """Resolve the configured seen pre-filter: explicit seen_filter wins;
     use_bloom=True is the legacy alias for 'bloom'."""
@@ -237,6 +286,7 @@ def bootstrap(
     priority: int = 0,
     host_scores: Optional[DataFrame] = None,
     cfg: Optional[CrawlConfig] = None,
+    pending: Optional[PendingCommit] = None,
 ) -> int:
     """Seed ingest → frontier snapshot 0 (A1). Idempotent against an
     existing frontier (anti-join dedup). host_scores (host, score), e.g.
@@ -252,61 +302,97 @@ def bootstrap(
     colliding with those keys, letting it BYPASS the exact anti-join
     (the filter's "no" is treated as definitive) and duplicate the row.
     run_crawl always passes it; the filter merge commits at the same
-    round as the frontier rows it covers."""
+    round as the frontier rows it covers.
+
+    ``pending``: run_crawl's in-flight bookkeeping slot (guide §2.6) —
+    the jobs commit is submitted there so it overlaps round 1's frontier
+    scan; run_round's pre-frontier-commit barrier keeps the crash
+    ordering identical to the sequential code (jobs always land before
+    the next frontier snapshot becomes visible)."""
+    if pending is not None:
+        pending.wait()  # a prior bookkeeping commit may still be in flight
     existing = load_frontier(spark, catalog) if catalog.exists(FRONTIER_TABLE) else None
     new_rows = FR.ingest_seeds(seeds, existing, priority=priority, round_id=0)
     if host_scores is not None:
         new_rows = FR._conform(scheduler.with_host_priority(new_rows, host_scores))
-    # one evaluation of the ingest DAG for its several consumers (count,
-    # filter merge, frontier union, jobs, trap fold)
-    new_rows = new_rows.cache()
-    n_new = new_rows.count()
-    if existing is not None and n_new == 0:
-        # idempotent re-ingest with nothing new: skip the (full-rewrite)
-        # snapshot commit entirely
-        new_rows.unpersist()
-        return catalog.latest_snapshot(FRONTIER_TABLE)
-    # keep the seen pre-filter COMPLETE over the frontier: fold the new
-    # keys into the committed filter BEFORE the frontier commit (crash-
-    # safe direction, round-5 review #2: a filter key whose frontier row
-    # never landed is a harmless false positive — routed through the
-    # exact anti-join — while the reverse order leaves a committed
-    # frontier key the filter never learns: a FALSE NEGATIVE that lets a
-    # colliding variant bypass the anti-join, and the resume can't
-    # repair it because the re-ingest anti-join reports n_new=0. A crash
-    # between these two commits re-runs this merge on resume (the seeds
-    # still read as new); re-merging is safe — bloom OR is idempotent,
-    # cuckoo re-insert only duplicates fingerprints (FPR/capacity cost,
-    # never correctness).
-    if n_new > 0 and cfg is not None:
-        kind = seen_filter_kind(cfg)
-        table = _SEEN_TABLES.get(kind)
-        if table and catalog.exists(table):
+    kind = seen_filter_kind(cfg) if cfg is not None else "none"
+    filt_table = _SEEN_TABLES.get(kind)
+    filt_exists = filt_table is not None and catalog.exists(filt_table)
+    if existing is None and not filt_exists:
+        # FRESH-crawl fast path (r6): the ingest count rides the base
+        # commit write as an Observation instead of paying its own
+        # action — the up-front count exists only for the idempotence
+        # skip and the filter merge, both of which need an EXISTING
+        # frontier/filter snapshot. The write evaluates the ingest DAG
+        # once into the cache, shared by the jobs seed below.
+        obs = Observation()
+        new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n_new")).cache()
+        full = new_rows
+        sid = catalog.commit(
+            full,
+            FRONTIER_TABLE,
+            round_id=0,
+            metrics={"event": "bootstrap", "kind": "base"},
+            metrics_cb=lambda: {"new_urls": int(obs.get["n_new"])},
+        )
+        n_new = int(obs.get["n_new"])
+    else:
+        # one evaluation of the ingest DAG for its several consumers
+        # (count, filter merge, frontier union, jobs, trap fold)
+        new_rows = new_rows.cache()
+        n_new = new_rows.count()
+        if existing is not None and n_new == 0:
+            # idempotent re-ingest with nothing new: skip the
+            # (full-rewrite) snapshot commit entirely
+            new_rows.unpersist()
+            return catalog.latest_snapshot(FRONTIER_TABLE)
+        # keep the seen pre-filter COMPLETE over the frontier: fold the
+        # new keys into the committed filter BEFORE the frontier commit
+        # (crash-safe direction, round-5 review #2: a filter key whose
+        # frontier row never landed is a harmless false positive —
+        # routed through the exact anti-join — while the reverse order
+        # leaves a committed frontier key the filter never learns: a
+        # FALSE NEGATIVE that lets a colliding variant bypass the
+        # anti-join, and the resume can't repair it because the
+        # re-ingest anti-join reports n_new=0. A crash between these two
+        # commits re-runs this merge on resume (the seeds still read as
+        # new); re-merging is safe — bloom OR is idempotent, cuckoo
+        # re-insert only duplicates fingerprints (FPR/capacity cost,
+        # never correctness).
+        if n_new > 0 and filt_exists:
             merge = seen.merge_bloom if kind == "bloom" else cuckoo.merge_cuckoo
             catalog.commit(
-                merge(catalog.load(spark, table), new_rows.select(*KEY), cfg.bloom_buckets),
-                table,
+                merge(catalog.load(spark, filt_table), new_rows.select(*KEY), cfg.bloom_buckets),
+                filt_table,
                 round_id=0,
                 metrics={"event": "bootstrap_ingest_filter", "new_urls": n_new},
             )
-    full = existing.unionByName(new_rows) if existing is not None else new_rows
-    sid = catalog.commit(
-        full,
-        FRONTIER_TABLE,
-        round_id=0,
-        metrics={"event": "bootstrap", "new_urls": n_new, "kind": "base"},
-    )
-    # a mid-crawl bootstrap adds pending rows to possibly-EXISTING jobs;
-    # the jobs table must learn the new n_total NOW or the per-round
-    # incremental job_status_delta goes stale (it only counts rows a round
-    # touched — round-2 advice, medium)
-    if n_new > 0 and catalog.exists(QT.JOBS_TABLE):
-        catalog.commit(
-            QT.jobs_apply_ingest(catalog.load(spark, QT.JOBS_TABLE), new_rows),
-            QT.JOBS_TABLE,
+        full = existing.unionByName(new_rows) if existing is not None else new_rows
+        sid = catalog.commit(
+            full,
+            FRONTIER_TABLE,
             round_id=0,
-            metrics={"event": "bootstrap_ingest", "new_urls": n_new},
+            metrics={"event": "bootstrap", "new_urls": n_new, "kind": "base"},
         )
+    # jobs bookkeeping — submitted to the pending slot when available so
+    # it overlaps the next round's frontier scan (the write reads only
+    # the ingest cache / prior jobs snapshot, never the new frontier).
+    jobs_commit: Optional[Callable[[], None]] = None
+    if n_new > 0 and catalog.exists(QT.JOBS_TABLE):
+        # a mid-crawl bootstrap adds pending rows to possibly-EXISTING
+        # jobs; the jobs table must learn the new n_total NOW or the
+        # per-round incremental job_status_delta goes stale (it only
+        # counts rows a round touched — round-2 advice, medium)
+        prev_jobs_df = catalog.load(spark, QT.JOBS_TABLE)
+
+        def jobs_commit() -> None:
+            catalog.commit(
+                QT.jobs_apply_ingest(prev_jobs_df, new_rows),
+                QT.JOBS_TABLE,
+                round_id=0,
+                metrics={"event": "bootstrap_ingest", "new_urls": n_new},
+            )
+
     elif n_new > 0 and cfg is not None and cfg.track_jobs:
         # seed the jobs table at bootstrap (r6): with no jobs snapshot,
         # round 1 falls back to the full job_status(load_frontier) derive
@@ -316,12 +402,14 @@ def bootstrap(
         # Deriving from the just-ingested rows here is O(new_rows) on the
         # already-cached ingest frame, and every later round then takes
         # the incremental delta path.
-        catalog.commit(
-            QT.job_status(full).coalesce(1),
-            QT.JOBS_TABLE,
-            round_id=0,
-            metrics={"event": "bootstrap_jobs_seed", "new_urls": n_new},
-        )
+        def jobs_commit() -> None:
+            catalog.commit(
+                QT.job_status(full).coalesce(1),
+                QT.JOBS_TABLE,
+                round_id=0,
+                metrics={"event": "bootstrap_jobs_seed", "new_urls": n_new},
+            )
+
     # trap-state fold AFTER the frontier commit: the opposite order would
     # double-count on a crash-resume (the re-ingest reads the seeds as
     # new again and re-folds the counters), and inflated counts can
@@ -342,7 +430,14 @@ def bootstrap(
             round_id=0,
             metrics={"event": "bootstrap_ingest_traps", "new_urls": n_new},
         )
-    new_rows.unpersist()
+    if jobs_commit is None:
+        new_rows.unpersist()
+    elif pending is not None:
+        # the closure reads the ingest cache; unpersist rides the slot
+        pending.submit(lambda: (jobs_commit(), new_rows.unpersist()) and None)
+    else:
+        jobs_commit()
+        new_rows.unpersist()
     return sid
 
 
@@ -378,6 +473,7 @@ def run_round(
     round_id: int,
     cfg: CrawlConfig,
     rules: Optional[DataFrame] = None,
+    pending: Optional[PendingCommit] = None,
 ) -> dict[str, Any]:
     """One crawl round. Returns the metrics dict (also persisted in the
     snapshot manifest). metrics['selected']==0 means the crawl is done.
@@ -491,7 +587,23 @@ def run_round(
     # not by a dedicated aggregate pass ---
     can_broadcast = n_selected <= cfg.broadcast_select_max
     hits = fetch_join(pages, sel, can_broadcast)
-    extract_in = scheduler.salted_repartition(hits, cfg.salt_n, cfg.extract_partitions)
+    # Extraction-input partitioning (guide §8: never shuffle the heavy
+    # payload to fix a problem you don't have). Both join paths already
+    # hand extraction work-even partitions: under the broadcast join the
+    # stream side keeps the pages scan's byte-bounded splits (a hot
+    # host's pages cost what their bytes cost, and splits are even in
+    # bytes); under the shuffle join the output is url-hash partitioned,
+    # even by construction. The salt exchange re-shuffles the full html
+    # payload (measured r6: ~0.9 s/loop at a 63k-row round, the single
+    # biggest per-round cost after extraction itself) and buys spread
+    # only when a SELECTIVE round's hits concentrate in few splits of a
+    # host-clustered pages store — exactly the layout salt_extraction=
+    # 'always' exists for. extract_partitions (explicit count) always
+    # forces the salted exchange, unchanged.
+    if cfg.extract_partitions is not None or cfg.salt_extraction == "always":
+        extract_in = scheduler.salted_repartition(hits, cfg.salt_n, cfg.extract_partitions)
+    else:
+        extract_in = hits
     ext_obs = Observation()
     extracted = (
         with_extraction(extract_in, url_col="url", html_col="_html")
@@ -623,6 +735,14 @@ def run_round(
                 )
             catalog.commit(merged, filt_table, round_id=round_id)
 
+    # barrier: the previous round's bookkeeping commit (riding the
+    # pending slot, overlapped with this round's scan/selection above)
+    # must land before THIS frontier snapshot becomes visible — the
+    # crash-ordering the sequential code had (jobs never lag the visible
+    # frontier by more than the in-flight round).
+    if pending is not None:
+        pending.wait()
+
     # delta commit = only the rows this round touched (bounded write
     # amplification); periodic base commit bounds read amplification.
     # The write materializes the extraction cache, so ext_obs resolves
@@ -720,30 +840,42 @@ def run_round(
     # full-derive recommit. That saves a per-round materialization
     # action in the default config.
     if cfg.track_jobs:
-        jobs_df = None
-        optimistic = False
-        if prev_jobs is not None and not cfg.expand_variants:
-            if quota_df is None:
-                jobs_df = QT.job_status_delta_from_agg(prev_jobs, tagg, round_id)
-                optimistic = True
-            elif int(tagg_obs.get["unseen"]) == 0:
-                jobs_df = QT.job_status_delta_from_agg(prev_jobs, tagg, round_id)
-        if jobs_df is None:
-            jobs_df = QT.job_status(load_frontier(spark, catalog))
-        catalog.commit(
-            jobs_df.coalesce(1),
-            QT.JOBS_TABLE,
-            round_id=round_id,
-            metrics={"event": "job_status", "round": round_id},
-        )
-        if optimistic and int(tagg_obs.get["unseen"]) > 0:
+        def _jobs_bookkeeping() -> None:
+            jobs_df = None
+            optimistic = False
+            if prev_jobs is not None and not cfg.expand_variants:
+                if quota_df is None:
+                    jobs_df = QT.job_status_delta_from_agg(prev_jobs, tagg, round_id)
+                    optimistic = True
+                elif int(tagg_obs.get["unseen"]) == 0:
+                    jobs_df = QT.job_status_delta_from_agg(prev_jobs, tagg, round_id)
+            if jobs_df is None:
+                jobs_df = QT.job_status(load_frontier(spark, catalog))
             catalog.commit(
-                QT.job_status(load_frontier(spark, catalog)).coalesce(1),
+                jobs_df.coalesce(1),
                 QT.JOBS_TABLE,
                 round_id=round_id,
-                metrics={"event": "job_status_full_recommit", "round": round_id},
+                metrics={"event": "job_status", "round": round_id},
             )
-    if quota_df is not None or cfg.track_jobs:
+            if optimistic and int(tagg_obs.get["unseen"]) > 0:
+                catalog.commit(
+                    QT.job_status(load_frontier(spark, catalog)).coalesce(1),
+                    QT.JOBS_TABLE,
+                    round_id=round_id,
+                    metrics={"event": "job_status_full_recommit", "round": round_id},
+                )
+            tagg.unpersist()
+
+        if pending is not None:
+            # overlap the jobs write with the NEXT round's frontier scan
+            # and selection (guide §2.6): it reads only the committed
+            # delta (`touched`) and the prior jobs snapshot, both frozen
+            # files — never this round's in-memory lineage. The next
+            # run_round joins the slot before its frontier commit.
+            pending.submit(_jobs_bookkeeping)
+        else:
+            _jobs_bookkeeping()
+    elif quota_df is not None:
         tagg.unpersist()
     sel.unpersist()
     extracted.unpersist()
@@ -1122,24 +1254,34 @@ def run_crawl(
         sm_seeds = SM.seeds_from_entries(harvested, cfg.sitemap_user, cfg.sitemap_job)
     else:
         sm_seeds = None
-    if seeds is not None and not catalog.exists(FRONTIER_TABLE):
-        bootstrap(spark, catalog, seeds, host_scores=host_scores, cfg=cfg)
-    if sm_seeds is not None:
-        # the sitemap channel re-harvests EVERY invocation (a resumed
-        # crawl must pick up newly published locs); bootstrap's anti-join
-        # makes it idempotent and it skips the commit when nothing is new
-        bootstrap(spark, catalog, sm_seeds, host_scores=host_scores, cfg=cfg)
-    if quota is not None and not catalog.exists(QT.QUOTA_TABLE):
-        catalog.commit(quota, QT.QUOTA_TABLE, metrics={"event": "quota_init"})
-    start_round = 1
-    last = catalog.latest_snapshot(FRONTIER_TABLE)
-    if last is not None:
-        last_round = catalog.manifest(FRONTIER_TABLE, last).round_id or 0
-        start_round = max(1, int(last_round) + (0 if last_round == 0 else 1))
-    all_metrics = []
-    for r in range(start_round, start_round + cfg.max_rounds):
-        m = run_round(spark, catalog, pages, r, cfg, rules)
-        all_metrics.append(m)
-        if m.get("selected", 0) == 0:
-            break
+    # ONE in-flight bookkeeping slot for the whole crawl: each round's
+    # jobs commit overlaps the next round's frontier scan/selection
+    # (guide §2.6); every frontier commit waits for it first, and the
+    # finally below guarantees nothing is left in flight on any exit.
+    pending = PendingCommit()
+    try:
+        if seeds is not None and not catalog.exists(FRONTIER_TABLE):
+            bootstrap(spark, catalog, seeds, host_scores=host_scores, cfg=cfg,
+                      pending=pending)
+        if sm_seeds is not None:
+            # the sitemap channel re-harvests EVERY invocation (a resumed
+            # crawl must pick up newly published locs); bootstrap's anti-join
+            # makes it idempotent and it skips the commit when nothing is new
+            bootstrap(spark, catalog, sm_seeds, host_scores=host_scores, cfg=cfg,
+                      pending=pending)
+        if quota is not None and not catalog.exists(QT.QUOTA_TABLE):
+            catalog.commit(quota, QT.QUOTA_TABLE, metrics={"event": "quota_init"})
+        start_round = 1
+        last = catalog.latest_snapshot(FRONTIER_TABLE)
+        if last is not None:
+            last_round = catalog.manifest(FRONTIER_TABLE, last).round_id or 0
+            start_round = max(1, int(last_round) + (0 if last_round == 0 else 1))
+        all_metrics = []
+        for r in range(start_round, start_round + cfg.max_rounds):
+            m = run_round(spark, catalog, pages, r, cfg, rules, pending=pending)
+            all_metrics.append(m)
+            if m.get("selected", 0) == 0:
+                break
+    finally:
+        pending.wait()
     return all_metrics

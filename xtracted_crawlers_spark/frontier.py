@@ -138,11 +138,24 @@ def ingest_seeds(
     cands = canonicalize_candidates(
         seeds.select("user_id", F.col("job_id").cast("long"), "seed_idx", "url")
     )
-    cands = dedupe_batch(cands, ["job_id", "seed_idx"])
     if frontier is not None:
+        # dedupe's KEY exchange is reused by the anti-join (same keys) —
+        # re-clustering by user_id here would only ADD an exchange
+        cands = dedupe_batch(cands, ["job_id", "seed_idx"])
         cands = cands.join(frontier.select(*KEY), KEY, "left_anti")
         offsets = user_offsets(frontier)
     else:
+        # fresh ingest: ONE exchange for both windows (guide §2.4) —
+        # hash-partitioning by user_id clusters every (user_id, job_id,
+        # url_id) group AND every user_id group, so the dedupe window
+        # (partitionBy KEY) and the seq window (partitionBy user_id)
+        # both run on this single shuffle (EnsureRequirements accepts
+        # hash(user_id) for ClusteredDistribution of any superset key
+        # list). Parallelism is per-user either way: the seq window is
+        # inherently per-user sequential (Postgres-sequence semantics),
+        # so this costs nothing the schedule didn't already pay.
+        cands = cands.repartition("user_id")
+        cands = dedupe_batch(cands, ["job_id", "seed_idx"])
         offsets = None
     new_rows = assign_seq(cands, offsets, ["job_id", "seed_idx"])
     return _conform(
