@@ -122,10 +122,24 @@ def _candidate_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seen = urlgen.urls_from(_t(spark, sf_dir, "orders"), "o_orderkey").select(
-        urlnorm.url_id("url").alias("url_id")
+    # identity-only query: derive url_id straight from the key
+    # (urlgen.url_id_from_key ≡ urlnorm.url_id∘url_from_key, proven
+    # there) so the distinct + anti-join shuffle 10-byte ids, never the
+    # 60-byte synthesized URLs, and the concat+regexp round-trip
+    # disappears from both sides (guide §2.3). The anti-join itself —
+    # the operator under test — is unchanged.
+    seen = _t(spark, sf_dir, "orders").select(
+        urlgen.url_id_from_key(F.col("o_orderkey")).alias("url_id")
     )
-    cands = _candidate_urls(spark, sf_dir).select(urlnorm.url_id("url").alias("url_id")).distinct()
+    cands = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            urlgen.url_id_from_key(
+                (F.col("l_orderkey") * 7 + F.col("l_linenumber")).cast("long")
+            ).alias("url_id")
+        )
+        .distinct()
+    )
     return cands.join(seen, "url_id", "left_anti").select("url_id")
 
 
@@ -3428,7 +3442,12 @@ def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven list_dot_product fold."""
     from xtracted_crawlers_spark.operators import linkgraph
 
-    he = linkgraph.host_edges(_edges(spark, sf_dir))
+    # he is ~hosts² rows but costs a 600k-row URL synthesis + regex
+    # pass to build, and BOTH the seed derivation and trustrank's graph
+    # build consume it — materialize it once (localCheckpoint: eager,
+    # per-invocation, nothing survives the query) instead of re-running
+    # the synthesis per consumer (guide §5 caching-when-reused).
+    he = linkgraph.host_edges(_edges(spark, sf_dir)).localCheckpoint()
     nodes = (
         he.select(F.col("src_host").alias("node"))
         .unionByName(he.select(F.col("dst_host").alias("node")))

@@ -100,3 +100,31 @@ def test_overlap_pairs_bruteforce_and_cap(spark):
     }
     assert (1, 2) in capped
     assert all(a != 3 and b != 3 for a, b in capped)  # 3 only shared boilerplate
+
+
+def test_overlap_pairs_singleton_prefilter(spark):
+    """The r6 pre-filter drops fingerprints selected by exactly one
+    document BEFORE the self-join (they can only self-match, which
+    doc_a < doc_b discards). Sound for every min_shared: an
+    all-singleton corpus yields no pairs, and min_shared=1 still
+    reports every genuinely shared fingerprint pair."""
+    texts = [
+        (1, "completely distinct words aaa bbb ccc ddd eee fff ggg hhh"),
+        (2, "another unique run iii jjj kkk lll mmm nnn ooo ppp qqq"),
+        (3, "shared run alpha beta gamma delta epsilon zeta eta plus own tail one"),
+        (4, "shared run alpha beta gamma delta epsilon zeta eta with other tail"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = winnow.winnow_fingerprints(df, k=5, w=4)
+    # docs 1/2: all fingerprints singleton -> no pairs at min_shared=1
+    only_12 = fps.filter("doc_id <= 2")
+    assert winnow.overlap_pairs(only_12, min_shared=1, fp_cap=100).count() == 0
+    # docs 3/4 share an 11-token run (>= w+k-1 = 8 tokens guarantees a
+    # shared fingerprint) and must still pair at min_shared=1
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in winnow.overlap_pairs(fps, min_shared=1, fp_cap=100).collect()
+    }
+    assert (3, 4) in got
+    # docs 1 and 2 never appear: every one of their fps is a singleton
+    assert not any(1 in pair or 2 in pair for pair in got)

@@ -1,4 +1,4 @@
-"""BPE vocabulary induction over a corpus, as a declarative Spark plan.
+r"""BPE vocabulary induction over a corpus, as a declarative Spark plan.
 
 Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation of
 Rare Words with Subword Units") is THE tokenizer-training step of an LLM
@@ -131,6 +131,16 @@ def bpe_learn(
             .agg(F.sum("freq").alias("cnt"))
         )
         best = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        if cache:
+            # `best` is consumed twice — the rank-k output row AND the
+            # crossJoin building iteration k+1's word table (which every
+            # later rank depends on). Left lazy, the full pair-count
+            # aggregation over the word table runs twice per rank
+            # (measured r6: ~2x trainer cost at sf0.1). Materialize the
+            # single row eagerly (localCheckpoint, not persist — caching
+            # a global-limit plan as the build side of the crossJoin
+            # blew the driver heap) so both consumers read it back.
+            best = best.localCheckpoint()
         outs.append(
             best.select(
                 F.lit(rank).cast("int").alias("merge_rank"),

@@ -281,7 +281,13 @@ def pagerank(
     exact constant-folded doubles) unchanged."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # cache the distinct edge set itself (r6): nodes, out_deg and e_deg
+    # all consume `e`, and the eager localCheckpoint at iteration
+    # checkpoint_every materializes those caches in ONE action — without
+    # this cache that action re-evaluates the caller's edge pipeline
+    # once per consumer (measured: link_trustrank re-ran the 600k-row
+    # URL-synthesis + regex host extraction 4x, ~5 s of its 9.7 s).
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -356,7 +362,19 @@ def pagerank(
             ranks = (
                 ranks.checkpoint() if checkpoint_dir is not None else ranks.localCheckpoint()
             )
+    # final checkpoint (r6): the loop's tail iterations after the last
+    # periodic checkpoint still reference e_deg/nodes lazily — the old
+    # code unpersisted those caches HERE, so the caller's first action
+    # recomputed the whole edge pipeline from scratch. Materializing the
+    # result first makes the returned frame self-contained, and the
+    # unpersists below are then actually safe (no hidden recompute).
+    if iters % checkpoint_every != 0 or iters == 0:
+        ranks = (
+            ranks.checkpoint() if checkpoint_dir is not None else ranks.localCheckpoint()
+        )
     e_deg.unpersist()
+    nodes.unpersist()
+    e.unpersist()
     if base is not None:
         base.unpersist()
     return ranks
@@ -385,7 +403,12 @@ def trustrank(
     unreachable non-seed nodes get exactly 0.0.  Same per-iteration
     shape, checkpointing and exact_fold semantics as :func:`pagerank`.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # cache the raw edge pairs once (r6): the seed count below and
+    # pagerank's own distinct/nodes/degree builds otherwise each re-run
+    # the caller's full edge pipeline (URL synthesis + host regexes for
+    # the contract queries). pagerank's final checkpoint makes its
+    # result self-contained, so the unpersist at the end is safe.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -402,15 +425,16 @@ def trustrank(
         raise ValueError("trustrank: no seed appears in the graph")
     tele = seeds_in.withColumn("w", F.lit(1.0 / s))
     out = pagerank(
-        edges,
+        e,
         damping=damping,
         iters=iters,
-        src_col=src_col,
-        dst_col=dst_col,
+        src_col="src",
+        dst_col="dst",
         exact_fold=exact_fold,
         tele=tele,
     )
     seeds_in.unpersist()
+    e.unpersist()
     return out
 
 
@@ -443,7 +467,10 @@ def opic(
     (bit-reproducible; mirrorable by the DuckDB oracle) — history
     accumulation is a single ``+`` per round, already order-free.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # cache the distinct edge set (r6, same reasoning as pagerank): the
+    # node count action and the per-round checkpoints otherwise re-run
+    # the caller's edge pipeline once per consumer of `e`.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -484,12 +511,19 @@ def opic(
         )
         if (i + 1) % checkpoint_every == 0:
             state = state.localCheckpoint()
+    # final checkpoint before unpersisting (r6, same as pagerank): the
+    # tail rounds still reference the caches — materialize first so the
+    # returned frame is self-contained and the unpersists don't force a
+    # recompute of the edge pipeline in the caller's action.
+    if rounds % checkpoint_every != 0 or rounds == 0:
+        state = state.localCheckpoint()
     out = state.select(
         "node", "cash", F.col("hist").alias("history"),
         (F.col("hist") + F.col("cash")).alias("importance"),
     )
     nodes.unpersist()
     e_deg.unpersist()
+    e.unpersist()
     return out
 
 

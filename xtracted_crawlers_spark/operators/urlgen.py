@@ -39,6 +39,27 @@ def url_from_key(key: Column) -> Column:
     return F.when(F.spark_partition_id() >= F.lit(0), url)
 
 
+def url_id_from_key(key: Column) -> Column:
+    """The canonical url_id of a synthesized URL, derived WITHOUT
+    materializing the URL string (guide §2.3: shuffle keys, not
+    payloads). Exactly equal to
+    ``urlnorm.url_id(url_from_key(k))`` by construction: the synthesized
+    path is ``/dp/B0`` + upper(md5(k)[:8]) and the ASIN regex
+    ``/dp/((B0|BT)[A-Z0-9]{8})`` captures precisely those 10
+    characters (uppercase hex ⊂ [A-Z0-9]; the regex stops before the
+    optional ``?ref=x``, and ``/dp/`` occurs nowhere else). Queries
+    whose OUTPUT is only the identity — dedup anti-joins, seen-set
+    probes — use this to skip the concat+regexp round-trip and to
+    shuffle 10-byte ids instead of 60-byte URLs; queries that exercise
+    the canonicalization operator itself keep the real urlnorm path.
+    Same evaluation barrier as url_from_key (see below)."""
+    k = key.cast("long")
+    uid = F.concat(
+        F.lit("B0"), F.upper(F.substring(F.md5(k.cast("string")), 1, 8))
+    )
+    return F.when(F.spark_partition_id() >= F.lit(0), uid)
+
+
 def sql_url_from_key(key_expr: str) -> str:
     """The DuckDB twin of url_from_key (ANSI-ish SQL string)."""
     return (
