@@ -620,21 +620,30 @@ def run_round(
     )
 
     ok = extracted.filter(F.col("error").isNull())
-    bad = extracted.filter(F.col("error").isNotNull())
 
-    done_rows = (
-        ok.withColumn("status", F.lit(COMPLETE))
+    # done/fail as ONE conditional projection over the extraction cache
+    # (guide §1.2 fewer passes): the old two-branch filter+union scanned
+    # the cached `extracted` twice and compiled two codegen stages per
+    # round; a row is complete iff extraction returned no error, so one
+    # CASE-WHEN projection carries both outcomes bit-identically.
+    is_ok = F.col("error").isNull()
+    ext_rows = (
+        extracted.withColumn(
+            "status", F.when(is_ok, F.lit(COMPLETE)).otherwise(F.lit(RUNNING))
+        )
+        .withColumn(
+            "retries", F.when(is_ok, F.col("retries")).otherwise(F.col("retries") + 1)
+        )
+        .withColumn(
+            "errors",
+            F.when(is_ok, F.col("errors")).otherwise(
+                F.concat("errors", F.array("error"))
+            ),
+        )
         .withColumn("round", F.lit(round_id))
-        .drop("_html", "_golden_text")
-    )
-    fail_rows = (
-        bad.withColumn("status", F.lit(RUNNING))
-        .withColumn("retries", F.col("retries") + 1)
-        .withColumn("errors", F.concat("errors", F.array("error")))
-        .withColumn("round", F.lit(round_id))
-        .withColumn("data", F.lit(None).cast(PAYLOAD_SCHEMA))
-        .withColumn("payload_json", F.lit(None).cast("string"))
-        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("data", F.when(is_ok, F.col("data")).otherwise(F.lit(None).cast(PAYLOAD_SCHEMA)))
+        .withColumn("payload_json", F.when(is_ok, F.col("payload_json")).otherwise(F.lit(None).cast("string")))
+        .withColumn("text", F.when(is_ok, F.col("text")).otherwise(F.lit(None).cast("string")))
         .drop("_html", "_golden_text")
     )
 
@@ -650,11 +659,7 @@ def run_round(
         .withColumn("round", F.lit(round_id))
     )
 
-    updated = (
-        done_rows.select(*fr.columns)
-        .unionByName(fail_rows.select(*fr.columns))
-        .unionByName(miss_rows.select(*fr.columns))
-    )
+    updated = ext_rows.select(*fr.columns).unionByName(miss_rows.select(*fr.columns))
 
     # --- metrics: realized by the commit write via ext_obs (see above) ----
     metrics: dict[str, Any] = {"round": round_id, "selected": n_selected}

@@ -108,26 +108,44 @@ def _warm_python_workers(spark: SparkSession) -> None:
     UDF through the noop sink (computes every column, guide §1.4) with
     enough simultaneous tasks to fork one worker per core, and each
     worker imports the extraction kernel's module graph so later
-    extraction tasks start hot."""
+    extraction tasks start hot.
+
+    Besides the fork+import cost, the first STRING-carrying Arrow job of
+    a fresh JVM pays ~110 CPU-s of JIT warmup in SHARED runtime code —
+    ArrowWriter/UTF8String/PythonRunner serialization and the hash-agg
+    path (measured r6 session 3 via /proc: JVM CPU per identical
+    extraction rep fell 119 → 19 → 6 CPU-s while Python-worker CPU held
+    ~30 CPU-s flat). Those methods are query-independent, so one warm
+    pass of struct-of-strings through a pandas UDF + xxhash aggregate
+    compiles them during session setup instead of inside whichever
+    query runs first. Per-query generated classes still JIT on first
+    use — deliberately NOT warmed (a per-plan warm would only ever
+    benefit the benchmark's shape, not a real deployment)."""
     if getattr(spark, "_xcs_workers_warm", False):
         return
     import pandas as pd
     from pyspark.sql import functions as F
 
-    def _warm_fn(s):
+    def _warm_fn(u, s):
         import xtracted_crawlers_spark.extract  # noqa: F401  (module-graph warm)
 
-        return s
+        return pd.DataFrame({"a": s.str.slice(0, 24), "b": s, "error": None})
 
     # annotations set explicitly: `from __future__ import annotations`
     # above would stringify inline hints out of pandas_udf's reach
-    _warm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _warm = F.pandas_udf(_warm_fn, "long")
+    _warm_fn.__annotations__ = {"u": pd.Series, "s": pd.Series, "return": pd.DataFrame}
+    _warm = F.pandas_udf(_warm_fn, "a string, b string, error string")
 
     par = spark.sparkContext.defaultParallelism
     (
-        spark.range(4 * par, numPartitions=2 * par)
-        .select(_warm("id").alias("w"))
+        spark.range(150 * par, numPartitions=2 * par)
+        .select(
+            F.lit("u").alias("u"),
+            F.concat(F.lit("warm/"), F.md5(F.col("id").cast("string"))).alias("s"),
+        )
+        .select(_warm("u", "s").alias("r"))
+        .select("r.*")
+        .agg(F.count("*"), F.max(F.xxhash64("a", "b", "error")))
         .write.format("noop").mode("overwrite").save()
     )
     spark._xcs_workers_warm = True
