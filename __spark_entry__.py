@@ -828,8 +828,21 @@ def q_crawl_priority_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('">l</a>'),
         ).alias("html"),
     )
+    # Split the explode stage from the RFC 3986 resolution chain (r6):
+    # fused, the Generate stage's consume method inlines the synthesized
+    # URL exprs + the ~50-regexp dot-segment rewrite and exceeds
+    # janino's 64 KB method limit — and a FAILED compile is not cached,
+    # so every action re-paid the multi-second compile attempt before
+    # falling back to interpreted eval (measured: ~7 s of driver time
+    # per rep, stages only ~2 s). Materializing the unresolved (src,
+    # dst) edge list (~150 k skinny rows) lets both halves compile.
+    # Values unchanged: this html carries no <base href>, so resolving
+    # against src ≡ extract_links' effective-base resolution — the
+    # engine's extract_links itself is untouched (its real-page callers
+    # compile fine; tests/test_linkgraph.py covers the fused path).
+    raw_links = linkgraph.extract_links(pages, resolve=False).localCheckpoint()
     scores = (
-        linkgraph.extract_links(pages)
+        linkgraph.resolve_links(raw_links)
         .select(urlnorm.host(F.col("dst")).alias("host"))
         .groupBy("host")
         .agg(F.count("*").alias("score"))
@@ -972,10 +985,19 @@ def q_crawl_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tagged if out is None else out.unionByName(tagged)
         keys = sel.select("k")
         selected = keys if selected is None else selected.unionByName(keys)
+        # materialize the next bucket state eagerly (r6, the S2.4/S2.5
+        # iteration lesson): budgets_r is consumed twice per round
+        # (select_round's broadcast join + spend_tokens), so leaving it
+        # lazy doubles the bucket-update lineage every round (~2^rounds
+        # plan growth — measured 21.6 s at sf0.1, nearly all of it
+        # re-planning/re-running the tiny bucket aggregates). The state
+        # is one row per host (~20 rows); a localCheckpoint collapses
+        # the lineage for the cost of one tiny job per round. Values
+        # unchanged — a checkpoint is a materialization barrier only.
         budgets = scheduler.token_budgets(
             rules, scheduler.spend_tokens(budgets, sel),
             round_seconds=60.0, burst_rounds=_TB_BURST,
-        )
+        ).localCheckpoint()
     return out.select("host", F.col("k").cast("long").alias("k"), "round_selected")
 
 
@@ -4233,7 +4255,10 @@ SQL_PIPELINE_CORPUS_NEARDUP = _sql_pipeline_corpus_neardup()
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings", spread=False)
+    # spread ON (re-measured r6 session 3): the items side streams the
+    # broadcast join single-task from the one-file table; spreading it
+    # parallelizes the HOF cosine kernel (same-session reps 0.41 -> 0.27 s)
+    emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
@@ -4452,7 +4477,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings", spread=False)
+    # spread ON (r6 session 3): ivf_assign's unrolled per-centroid HOF
+    # dots ran single-task on the one-file scan (A/B 3.2 -> 2.0 s)
+    emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=2, dim=_ANN_DIM
     )
@@ -4589,8 +4616,12 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both branches fire). keep compares the UNROUNDED max — the zip_with
     fold is bit-identical to DuckDB's list_dot_product, proven by the
     sim_ann_* oracles."""
+    # spread ON (r6 session 3): the cluster assignment + in-cluster pair
+    # kernel otherwise start from a single-task scan (A/B 5.2 -> 3.6 s);
+    # ann_lsh / near_dup_lsh stay spread=False — measured a wash / 3x
+    # WORSE respectively (the exchange changes AQE's band-join choice)
     return similarity.semdedup(
-        _t(spark, sf_dir, "embeddings", spread=False),
+        _t(spark, sf_dir, "embeddings"),
         threshold=_SEMDEDUP_THRESHOLD,
         n_clusters=8,
         dim=_ANN_DIM,

@@ -443,11 +443,17 @@ def connected_components(
     deliberately keeps simpler than: integer min is bit-exact in every
     engine, so the DuckDB oracle replays the identical fixpoint."""
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    nodes = e.select(F.col("a").alias("node")).union(e.select("b")).distinct()
+    nodes = e.select(F.col("a").alias("node")).union(e.select("b")).distinct().cache()
+    # cache the symmetrized edge set (r6, the pagerank/trustrank lesson
+    # §S2.4 applied here): every iteration's join consumes `sym`, and
+    # `pairs` is typically an EXPENSIVE lineage (minhash_lsh_pairs:
+    # shingles → signatures → band self-join) — uncached, each of the
+    # `iters` joins re-ran that whole pipeline (measured r6:
+    # dedup_canonical 11.9 s -> 3.3 s, pipeline_corpus_neardup similar).
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
-    )
+    ).cache()
     labels = nodes.select("node", F.col("node").alias("component"))
     for i in range(iters):
         msgs = sym.join(labels, F.col("a") == F.col("node")).select(
@@ -456,6 +462,12 @@ def connected_components(
         labels = msgs.groupBy("node").agg(F.min("component").alias("component"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=False)
+    # materialize the tail before unpersisting (self-contained result —
+    # without this the caller's first action would recompute the
+    # just-dropped caches from scratch)
+    labels = labels.localCheckpoint()
+    sym.unpersist()
+    nodes.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -92,12 +92,27 @@ def _resolve_expr(base, dst):
     base_dir = F.when(clean == origin, F.concat(origin, F.lit("/"))).otherwise(
         F.regexp_replace(clean, "[^/]*$", "")
     )
+    # The two dot-normalizing branches share ONE _remove_dot_segments
+    # instantiation over a branch-selected input (r6): the 8-pass rewrite
+    # unrolls to ~50 chained regexp_replace calls, and instantiating it
+    # per branch doubled the expression tree — big enough to push a
+    # Generate-stage consume method past janino's 64 KB limit when the
+    # link source itself is a synthesized expression (observed on the
+    # priority-schedule oracle query: whole-stage codegen fell back to
+    # interpreted eval, ~2x the query time). CASE branches evaluate
+    # lazily, so rows taken by the verbatim branches never run the
+    # normalization — values are unchanged, the tree is half the size.
+    # ('//'-prefixed dsts match startswith('/') here but are captured by
+    # the earlier scheme-relative branch before `normed` is reached.)
+    norm_in = F.when(dst.startswith("/"), F.concat(origin, dst)).otherwise(
+        F.concat(base_dir, dst)
+    )
+    normed = _remove_dot_segments(norm_in)
     return (
         F.when(dst.rlike(_SCHEME_RE), dst)
         .when(dst.startswith("//"), F.concat(scheme, F.lit(":"), dst))
         .when(dst.startswith("?"), F.concat(clean, dst))
-        .when(dst.startswith("/"), _remove_dot_segments(F.concat(origin, dst)))
-        .otherwise(_remove_dot_segments(F.concat(base_dir, dst)))
+        .otherwise(normed)
     )
 
 
