@@ -225,7 +225,6 @@ def stupid_backoff_scores(
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dlb = pb.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_bigrams"))
     j = (
         pb.join(c2, ["w1", "w2"], "left")
         .join(c1.select(F.col("term").alias("w1"), F.col("c1").alias("_cw1")), "w1", "left")
@@ -260,10 +259,18 @@ def stupid_backoff_scores(
         )
     else:
         total = F.sum("contrib")
+    # n_bigrams = sum(tf) computed IN the score aggregation: the left
+    # joins above preserve pb's rows 1:1 (c2 is unique per (w1, w2), c1
+    # per term, tot is one row), so summing tf here equals the former
+    # separate pb.groupBy(doc_id) pass — integer-exact — and drops both
+    # that second evaluation of the bigram postings and the final join
+    # (r6: fewer passes).
     g = s.groupBy("doc_id").agg(
-        F.sum("_bo").cast("long").alias("n_backoff"), total.alias("_total")
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_bo").cast("long").alias("n_backoff"),
+        total.alias("_total"),
     )
-    return g.join(dlb, "doc_id").select(
+    return g.select(
         "doc_id",
         "n_bigrams",
         "n_backoff",
