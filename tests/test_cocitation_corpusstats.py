@@ -192,3 +192,14 @@ def test_corpus_report_top_collocations_not_capped_at_100(spark):
     df = spark.createDataFrame(texts, "doc_id long, text string")
     rep = corpusstats.corpus_report(df, n_buckets=2, top_collocations=110)
     assert len(rep["collocations"]) > 100
+
+
+def test_cocitation_materializes_selfjoin_input_once(spark):
+    """r6: the capped edge set feeds both aliased sides of the pair
+    self-join; aliased projections defeat exchange reuse, so it must be
+    materialized (localCheckpoint -> ExistingRDD scan) or the caller's
+    edge pipeline runs once per side (measured 3x at sf0.1)."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    out = cc.cocitation(df, max_degree=4, min_common=1)
+    pp = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in pp, pp

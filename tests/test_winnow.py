@@ -128,3 +128,18 @@ def test_overlap_pairs_singleton_prefilter(spark):
     assert (3, 4) in got
     # docs 1 and 2 never appear: every one of their fps is a singleton
     assert not any(1 in pair or 2 in pair for pair in got)
+
+
+def test_overlap_pairs_materializes_selfjoin_input_once(spark):
+    """r6: both aliased sides of the pair self-join (and the skew-guard
+    aggregate) must consume a MATERIALIZED (doc_id, fp) set — aliased
+    projections defeat exchange reuse, so an unmaterialized input
+    re-runs the winnowing kernel once per consumer. The localCheckpoint
+    shows up as an ExistingRDD scan in the physical plan."""
+    texts = [(i, "shared run alpha beta gamma delta epsilon zeta eta " + f"t{i}")
+             for i in range(1, 5)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = winnow.overlap_pairs(winnow.winnow_fingerprints(df, k=5, w=4),
+                               min_shared=1, fp_cap=100)
+    pp = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in pp, pp

@@ -125,6 +125,14 @@ def overlap_pairs(
     self-join input shrinks by that whole fraction for free (r5 verdict
     follow-up; sound for every ``min_shared``).
     """
+    # Materialize the (doc_id, fp) input once (r6, the co-citation
+    # lesson): the skew-guard aggregate AND both differently-aliased
+    # sides of the self-join consume `fps`, and aliased projections
+    # defeat exchange reuse — with `fps` typically the full winnowing
+    # projection (per-window md5 minima), an unmaterialized input re-ran
+    # that kernel three times. The checkpoint holds only the selected
+    # fingerprints (~n_tokens/w rows per doc).
+    fps = fps.select("doc_id", "fp").localCheckpoint()
     kept_fps = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_d"))
