@@ -273,6 +273,73 @@ def mode_crawlphases() -> None:
         print(f"{k:34s} {v:7.3f}")
 
 
+def mode_amortize() -> None:
+    """Second amortization datum for the crawl loop's fixed-vs-marginal
+    claim (r5 verdict round-6 task #3): wall time of a 2-round crawl vs
+    seed-count at FIXED cores, interleaved passes (size order reversed
+    on the second pass so window drift can't masquerade as a trend).
+    Fixed cost/round and marginal cost/url come from a least-squares
+    line over the best-of-passes points — same method as BENCH.md's
+    round-3/4 tables."""
+    import shutil
+
+    from xtracted_crawlers_spark import fixtures
+    from xtracted_crawlers_spark.catalog import ParquetSnapshotCatalog
+    from xtracted_crawlers_spark.crawl import CrawlConfig, run_crawl
+    from xtracted_crawlers_spark.extract import with_extraction
+
+    spark = _spark()
+    import bench as benchmod
+
+    sf = benchmod._sf_from_dir(SF_DIR)
+    pages_path = benchmod._ensure_pages(spark, sf)
+    warm = spark.read.parquet(pages_path).limit(4 * CPUS).repartition(2 * CPUS)
+    _ = with_extraction(warm).count()
+    pages = spark.read.parquet(pages_path).repartition(CPUS).cache()
+    n_pages = pages.count()
+    sizes = [12_500, 25_000, 50_000, 100_000]
+    seed_dfs = {}
+    for n in sizes:
+        seed_dfs[n] = fixtures.gen_seeds(spark, n_pages, n, n_hosts=200).cache()
+        seed_dfs[n].count()
+    results: dict[int, list[dict]] = {n: [] for n in sizes}
+    for p in range(2):
+        order = sizes if p == 0 else list(reversed(sizes))
+        for n in order:
+            wh = f"/tmp/xcs_bench_cache/amort_wh_{p}_{n}"
+            shutil.rmtree(wh, ignore_errors=True)
+            catalog = ParquetSnapshotCatalog(wh)
+            spark.sparkContext.setJobDescription(f"r06:amortize:{n}")
+            t0 = time.time()
+            ms = run_crawl(spark, catalog, pages, seed_dfs[n],
+                           cfg=CrawlConfig(max_rounds=2, global_budget=n))
+            wall = round(time.time() - t0, 3)
+            touched = sum(m.get("completed", 0) + m.get("extract_failed", 0)
+                          + m.get("fetch_missed", 0) for m in ms)
+            results[n].append({"wall": wall, "touched": touched})
+            shutil.rmtree(wh, ignore_errors=True)
+    spark.sparkContext.setJobDescription(None)
+    pts = []
+    for n in sizes:
+        best = min(r["wall"] for r in results[n])
+        touched = results[n][0]["touched"]
+        pts.append((touched, best))
+    # least-squares wall = fixed + marginal * touched (2 rounds/run)
+    k = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    marg = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    fixed = (sy - marg * sx) / k
+    print(json.dumps({
+        "mode": "amortize", "cpus": CPUS, "n_pages": n_pages, "rounds": 2,
+        "results": {str(n): results[n] for n in sizes},
+        "best_points": [{"touched": x, "wall": y, "urls_per_sec": round(x / y, 1)}
+                        for x, y in pts],
+        "marginal_ms_per_url": round(marg * 1000, 4),
+        "fixed_s_per_round": round(fixed / 2, 2),
+    }))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
     if mode == "queries":
@@ -285,5 +352,7 @@ if __name__ == "__main__":
         mode_crawlfull()
     elif mode == "crawlphases":
         mode_crawlphases()
+    elif mode == "amortize":
+        mode_amortize()
     else:
         raise SystemExit(f"unknown mode {mode!r}")
