@@ -1290,3 +1290,21 @@ def test_pmi_collocations_tokenless_docs_do_not_crash(spark):
     rows = collocations.pmi_collocations(docs, min_count=2, top_k=10).collect()
     # (here, real) occurs once — below min_count
     assert {(r.w1, r.w2) for r in rows} == {("real", "words"), ("words", "here")}
+
+
+def test_semdedup_and_lsh_materialize_selfjoin_input_once(spark):
+    """r6: the assigned/normalized vectors (semdedup) and the SRP
+    bucket table (near_dup_pairs_lsh) each feed both aliased sides of
+    a self-join; aliased projections defeat exchange reuse, so the
+    operators must materialize them once (localCheckpoint ->
+    ExistingRDD scan in the executed plan)."""
+    from xtracted_crawlers_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for out in (
+        similarity.semdedup(df, n_clusters=2, dim=8),
+        similarity.near_dup_pairs_lsh(df, n_planes=2, n_tables=2, dim=8),
+    ):
+        pp = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in pp, pp

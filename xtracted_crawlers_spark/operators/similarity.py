@@ -166,7 +166,12 @@ def near_dup_pairs_lsh(
             out = out.unionByName(p)
         return out
 
-    b = bucketed(items)
+    # Materialize the bucketed table once (r6, the co-citation lesson):
+    # both aliased sides of the collision self-join consume it, and the
+    # per-row SRP bucketing (n_tables × n_planes × dim HOF dot
+    # products) otherwise runs once per side (measured: sim_near_dup_lsh
+    # ~4.5 -> ~3.5 s at sf0.1, interleaved same-session A/B).
+    b = bucketed(items).localCheckpoint()
     a, c = b.alias("a"), b.alias("b")
     cand = (
         a.join(c, ["tbl", "bucket"])
@@ -433,12 +438,20 @@ def semdedup(
     centroids; the md5 default keeps the DuckDB oracle reproducible."""
     if codebook is None:
         codebook = default_codebook(n_clusters, dim)
+    # Materialize the assigned/normalized vectors once (r6, the
+    # co-citation lesson): `n` feeds BOTH aliased sides of the
+    # within-cluster self-join AND the final keep join, and aliased
+    # projections defeat exchange reuse — uncached, the per-row
+    # k×dim argmax (ivf_assign) and the norm re-ran once per consumer
+    # (measured: sim_semdedup 5.5-7.1 s -> 2.8-3.9 s at sf0.1,
+    # interleaved same-session A/B). The checkpoint is the standard
+    # assigned-vectors materialization of every IVF pipeline.
     n = with_norm(items, vec_col).select(
         F.col(id_col).alias("id"),
         F.col("_v").alias("v"),
         F.col("_norm").alias("nrm"),
         ivf_assign("_v", codebook).alias("cluster"),
-    )
+    ).localCheckpoint()
     a, b = n.alias("a"), n.alias("b")
     prior_max = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")))
