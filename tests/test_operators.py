@@ -1099,6 +1099,9 @@ def test_image_dhash_undecodable_dropped_and_hamming(spark):
     pp = plans.physical_plan(multimodal.dhash_near_dup(hashes))
     assert "CartesianProduct" not in pp
     assert "BroadcastNestedLoopJoin" not in pp
+    # r6: the exploded band table is materialized once — without it the
+    # image-decode mapInPandas lineage ran once per aliased join side
+    assert "ExistingRDD" in pp, pp
 
 
 def test_audio_features_real_wav_decode(spark):

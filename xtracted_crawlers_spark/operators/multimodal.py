@@ -395,6 +395,11 @@ def dhash_near_dup(
             .filter(F.col("_n") <= band_cap)
             .drop("_n")
         )
+    # Materialize the exploded band table once (r6, the co-citation
+    # lesson): both aliased sides of the band join consume `e`, whose
+    # lineage is the image_dhash mapInPandas — i.e. a full per-image
+    # pixel decode; uncached, that kernel ran once per join side.
+    e = e.localCheckpoint()
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(
