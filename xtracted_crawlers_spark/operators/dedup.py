@@ -521,6 +521,11 @@ def simhash_hamming_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    # Materialize the banded chunks once (r6, the co-citation lesson):
+    # both aliased sides of the bucket join consume `chunks`, and the
+    # caller's signature lineage (simhash64: tokenize + xxhash + 64 bit
+    # aggregates) otherwise runs once per side.
+    chunks = chunks.localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, ["band", "chunk"])
