@@ -450,10 +450,16 @@ def connected_components(
     # shingles → signatures → band self-join) — uncached, each of the
     # `iters` joins re-ran that whole pipeline (measured r6:
     # dedup_canonical 11.9 s -> 3.3 s, pipeline_corpus_neardup similar).
+    # ... and pre-partition it by the join key (r6, guide §2): every
+    # iteration joins sym on `a`, so hash-clustering the cached table
+    # once lets all `iters` joins reuse that layout instead of
+    # re-exchanging the edge set per iteration (measured:
+    # dedup_canonical ~7-9 -> ~6 s, pipeline_corpus_neardup ~11 -> ~8 s
+    # at sf0.1, interleaved A/B, hashes identical).
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
-    ).cache()
+    ).repartition("a").cache()
     labels = nodes.select("node", F.col("node").alias("component"))
     for i in range(iters):
         msgs = sym.join(labels, F.col("a") == F.col("node")).select(
