@@ -165,7 +165,15 @@ def phrase_search(
     single-term phrases degenerate to term frequency. Matches may
     overlap ('a a' occurs twice in 'a a a') — standard positional
     semantics."""
-    p = positional_postings(docs, id_col=id_col, text_col=text_col)
+    # Materialize the positional table once (r6): it is probed by the
+    # anchor join AND once per phrase position, it is map-only (no
+    # exchange for Spark to reuse), and each probe joins on a different
+    # key — so without this the corpus re-tokenized once per phrase
+    # position, which is exactly what the paragraph above promises NOT
+    # to do. Locally a first-plan win (7.8 -> 3.6 s rep0 at sf0.1,
+    # steady within noise); at corpus scale this IS the positional
+    # index build.
+    p = positional_postings(docs, id_col=id_col, text_col=text_col).localCheckpoint()
     q = phrases.select(
         F.col(phrase_id_col).alias("phrase_id"),
         F.posexplode(tokens(F.col(phrase_text_col))).alias("i", "qterm"),
